@@ -1,0 +1,99 @@
+"""Frozen configuration for the TPU-native line-feature localization engine.
+
+Defaults mirror the reference's compile-time constants
+(reference: LSD/baseFunc.h:56-87) so that parity runs reproduce the
+C++ behavior exactly.  Static shape caps (``max_*``) are new: the TPU
+pipeline is compiled with fixed shapes and masks, so every dynamically
+sized object in the reference (lines, split points, scan pixels,
+candidates) gets a padded fixed-width representation here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class LSDConfig:
+    """Line Segment Detector parameters (reference: LSD/baseFunc.h:60-68)."""
+
+    sca: float = 0.3          # downsample scale (lsd_sca)
+    sig: float = 0.6          # Gaussian sigma (lsd_sig)
+    ang_thre: float = 22.5    # angle threshold, degrees (lsd_angThre)
+    den_thre: float = 0.7     # density threshold (lsd_denThre)
+    pse_bin: int = 1024       # pseudo-sort bins (pseBin)
+
+
+@dataclasses.dataclass(frozen=True)
+class RDPConfig:
+    """Scan segmentation parameters (reference: LSD/baseFunc.h:69-72)."""
+
+    least_point: int = 3      # min points per cluster (rdp_leastPoint)
+    thre_line: float = 0.08   # split distance ratio threshold (rdp_threLine)
+    least_dist: float = 0.5   # min extracted segment length, m (rdp_leastDist)
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Feature association parameters (reference: LSD/baseFunc.h:73-86)."""
+
+    ignore_scan_length: float = 40.0  # min scan line length, px (ignoreScanLength)
+    scan_to_map_diff: float = 0.35    # length-diff gate ratio (scanToMapDiff)
+    max_esti_dist: float = 60.0       # HMM gate radius, px (maxEstiDist)
+    score_accept: float = 3.0         # candidate acceptance score (myFA.cpp:261)
+    valid_ratio: float = 0.7          # CalcScore validity gate (myFA.cpp:389)
+    max_dist_penalty: float = 10.0    # per-pixel cap penalty (myFA.cpp:381)
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Map preprocessing parameters (reference: LSD/baseFunc.h:57)."""
+
+    z_occ_max_dis: float = 1.0   # mapCache distance cap, m (Windows); ROS uses 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ShapeConfig:
+    """Static shape caps for the compiled TPU pipeline (new; no reference
+    equivalent - the reference uses dynamic allocation everywhere).
+
+    Caps were chosen from the maxima over the 21 bundled datasets with
+    headroom; exceeding a cap raises at trace/feed time rather than
+    silently truncating.
+    """
+
+    points_per_scan: int = 360     # lidar points per revolution (pointPerLoop)
+    max_scan_lines: int = 64       # scan segments per frame (cap)
+    max_map_lines: int = 256       # LSD lines per map (cap)
+    max_scan_pixels: int = 2048    # rasterized scan pixels per frame (cap)
+    max_cells: int = 64            # clusters per scan (cap)
+    max_splits: int = 360          # RDP split points (absolute bound)
+
+
+@dataclasses.dataclass(frozen=True)
+class FilterConfig:
+    """UKF parameters (reference: LSD/myFA.cpp:404-536)."""
+
+    alpha: float = 1e-2
+    beta: float = 2.0
+    kappa: float = 0.0
+    dt: float = 1.0               # kalman_t
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Top-level configuration bundle."""
+
+    lsd: LSDConfig = dataclasses.field(default_factory=LSDConfig)
+    rdp: RDPConfig = dataclasses.field(default_factory=RDPConfig)
+    match: MatchConfig = dataclasses.field(default_factory=MatchConfig)
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
+    shapes: ShapeConfig = dataclasses.field(default_factory=ShapeConfig)
+    filter: FilterConfig = dataclasses.field(default_factory=FilterConfig)
+    # "faithful" reproduces reference bugs (odometry y-term
+    # main_on_windows.cpp:151, dropped `orient`); "fixed" corrects them.
+    faithful: bool = True
+
+
+DEFAULT = EngineConfig()
