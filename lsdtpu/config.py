@@ -69,6 +69,7 @@ class ShapeConfig:
     max_scan_pixels: int = 2048    # rasterized scan pixels per frame (cap)
     max_cells: int = 64            # clusters per scan (cap)
     max_splits: int = 360          # RDP split points (absolute bound)
+    max_candidates: int = 4096     # gated (scan, map, 4) hypotheses (cap)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,68 @@
+"""9-state constant-acceleration UKF, compiled for TPU.
+
+Reference: LSD/myFA.cpp:404-536.  State [x, y, th, vx, vy, vth, ax, ay,
+ath]; measurement = identity on the first three states; odometry is
+injected additively into the state before the unscented transform
+(myFA.cpp:425-427).  Sigma points via Cholesky with the reference's
+A = c * chol(P)^T row convention (myFA.cpp:456-460).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+L = 9
+ALPHA = 1e-2
+KI = 0.0
+BETA = 2.0
+DT = 1.0
+
+_Q = np.diag([1, 1, 1, .01, .01, .01, 1e-4, 1e-4, 1e-4])
+_R = np.eye(3)
+# constant-acceleration transition (myFA.cpp:477-487)
+_F = np.eye(L)
+for i in range(3):
+    _F[i, i + 3] = DT
+    _F[i + 3, i + 6] = DT
+    _F[i, i + 6] = 0.5 * DT * DT
+
+RESET_X = np.array([-1, -1, 0, 0, 0, 0, 0, 0, 0], dtype=np.float64)
+RESET_P = np.diag([100, 100, 100, 1, 1, 1, 0.1, 0.1, 0.1]).astype(np.float64)
+
+
+def ukf_step(kalman_x, kalman_P, scan_pose, measurement):
+    """One UKF predict+update.  All args are jnp arrays:
+    kalman_x (9,), kalman_P (9,9), scan_pose (3,), measurement (3,)."""
+    dt = kalman_x.dtype
+    Q = jnp.asarray(_Q, dt)
+    R = jnp.asarray(_R, dt)
+    F = jnp.asarray(_F, dt)
+
+    x = kalman_x.at[:3].add(scan_pose)
+    lam = ALPHA * ALPHA * (L + KI) - L
+    c = L + lam
+    Wm = jnp.full((2 * L + 1,), 0.5 / c, dt)
+    Wm = Wm.at[0].set(lam / c)
+    Wc = Wm.at[0].add(1 - ALPHA * ALPHA + BETA)
+    sc = math.sqrt(c) if isinstance(c, float) else jnp.sqrt(c)
+
+    A = sc * jnp.linalg.cholesky(kalman_P).T
+    Y = jnp.tile(x[:, None], (1, L))
+    Xset = jnp.concatenate([x[:, None], Y + A, Y - A], axis=1)   # (9, 19)
+
+    Xsig = F @ Xset
+    Xmeans = Xsig @ Wm
+    Xdiv = Xsig - Xmeans[:, None]
+    P1 = (Xdiv * Wc[None, :]) @ Xdiv.T + Q
+
+    Zmeans = Xmeans[:3]
+    Zdiv = Xdiv[:3]
+    Pzz = (Zdiv * Wc[None, :]) @ Zdiv.T + R
+    Pxz = (Xdiv * Wc[None, :]) @ Zdiv.T
+    K = jnp.linalg.solve(Pzz.T, Pxz.T).T     # Pxz @ inv(Pzz)
+    new_x = Xmeans + K @ (measurement - Zmeans)
+    new_P = P1 - K @ Pxz.T
+    return new_x, new_P

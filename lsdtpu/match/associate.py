@@ -1,0 +1,205 @@
+"""Dense batched scan-to-map feature association, compiled for TPU.
+
+TPU-native redesign of the reference matcher (reference: LSD/myFA.cpp).
+The reference fans (scanLine, mapLine, 4 endpoint alignments) scoring
+tasks onto a 30-thread pthread pool with mutex-guarded results
+(myFA.cpp:22-62, threadpool.c); here the whole hypothesis space is a
+dense (S, M, 4) tensor:
+
+  1. gates (line length ratio, HMM distance) are evaluated for all
+     hypotheses at once (myFA.cpp:29-41, 330);
+  2. surviving candidates are compacted (order-preserving cumsum
+     scatter) into a fixed (K,) buffer;
+  3. each candidate rigidly transforms the scan pixel cloud and gathers
+     the mapCache prior at every pixel - one fused
+     transform+gather+reduce over (K, P) (myFA.cpp:307-396);
+  4. fusion is the reference's inverse-square-score weighted mean
+     (myFA.cpp:159-171), which is a plain sum reduction and therefore
+     distributes over sharded candidate axes with a single psum.
+
+No locks, no queue, no nondeterminism: the result is a deterministic
+function of the inputs (the reference's output ordering is
+thread-timing dependent; the weighted mean makes that immaterial).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lsdtpu import geometry as geo
+
+PI = math.pi
+
+
+@dataclasses.dataclass
+class Candidates:
+    """Fixed-size compacted candidate set."""
+
+    ca: jnp.ndarray        # (K,) cos(angDiff)
+    sa: jnp.ndarray        # (K,) sin(angDiff)
+    sx: jnp.ndarray        # (K,) scan base point
+    sy: jnp.ndarray
+    mx: jnp.ndarray        # (K,) map base point
+    my: jnp.ndarray
+    pose: jnp.ndarray      # (K, 3) transformed lidar pose (x, y, angDiff)
+    mask: jnp.ndarray      # (K,)
+    count: jnp.ndarray     # () int32 (pre-truncation count, for overflow checks)
+
+
+jax.tree_util.register_pytree_node(
+    Candidates,
+    lambda c: ((c.ca, c.sa, c.sx, c.sy, c.mx, c.my, c.pose, c.mask,
+                c.count), None),
+    lambda _, c: Candidates(*c))
+
+
+def generate_candidates(scan_lines, scan_mask, map_lines, map_mask,
+                        lidar_pose, last_pose, max_candidates: int,
+                        ignore_scan_length: float = 40.0,
+                        scan_to_map_diff: float = 0.35,
+                        max_esti_dist: float = 60.0) -> Candidates:
+    """Gate + compact the (S, M, 4) hypothesis tensor
+    (reference: myFA.cpp:29-41 length gates, myFA.cpp:186-235 alignment
+    hypotheses, myFA.cpp:330 HMM gate)."""
+    S = scan_lines.shape[0]
+    M = map_lines.shape[0]
+    dt = scan_lines.dtype
+
+    s_len = scan_lines[:, geo.LEN]
+    m_len = map_lines[:, geo.LEN]
+    len_diff = s_len * scan_to_map_diff
+    gate_len = (scan_mask & (s_len >= ignore_scan_length))[:, None] & \
+        map_mask[None, :] & \
+        (m_len[None, :] >= (s_len - len_diff)[:, None]) & \
+        (m_len[None, :] <= (s_len + len_diff)[:, None])          # (S, M)
+
+    # directions for both traversals of every line
+    def dirs(lines):
+        fwd = geo.normalized_line_direction(
+            lines[:, geo.X1], lines[:, geo.Y1],
+            lines[:, geo.X2], lines[:, geo.Y2])
+        rev = geo.normalized_line_direction(
+            lines[:, geo.X2], lines[:, geo.Y2],
+            lines[:, geo.X1], lines[:, geo.Y1])
+        return fwd, rev
+
+    s_fwd, s_rev = dirs(scan_lines)
+    m_fwd, m_rev = dirs(map_lines)
+
+    # hypothesis layout h=0..3 (myFA.cpp:194-235):
+    #   h0: map fwd, scan fwd   h1: map fwd, scan rev
+    #   h2: map rev, scan fwd   h3: map rev, scan rev
+    m_ang = jnp.stack([m_fwd, m_fwd, m_rev, m_rev], -1)          # (M, 4)
+    m_bx = jnp.stack([map_lines[:, geo.X1], map_lines[:, geo.X1],
+                      map_lines[:, geo.X2], map_lines[:, geo.X2]], -1)
+    m_by = jnp.stack([map_lines[:, geo.Y1], map_lines[:, geo.Y1],
+                      map_lines[:, geo.Y2], map_lines[:, geo.Y2]], -1)
+    s_ang = jnp.stack([s_fwd, s_rev, s_fwd, s_rev], -1)          # (S, 4)
+    s_bx = jnp.stack([scan_lines[:, geo.X1], scan_lines[:, geo.X2],
+                      scan_lines[:, geo.X1], scan_lines[:, geo.X2]], -1)
+    s_by = jnp.stack([scan_lines[:, geo.Y1], scan_lines[:, geo.Y2],
+                      scan_lines[:, geo.Y1], scan_lines[:, geo.Y2]], -1)
+
+    ang_diff = m_ang[None, :, :] - s_ang[:, None, :]             # (S, M, 4)
+    ca = geo.cosd(ang_diff)
+    sa = geo.sind(ang_diff)
+    sx = jnp.broadcast_to(s_bx[:, None, :], (S, M, 4))
+    sy = jnp.broadcast_to(s_by[:, None, :], (S, M, 4))
+    mx = jnp.broadcast_to(m_bx[None, :, :], (S, M, 4))
+    my = jnp.broadcast_to(m_by[None, :, :], (S, M, 4))
+
+    lx, ly = lidar_pose[0], lidar_pose[1]
+    rlx = (lx - sx) * ca - (ly - sy) * sa + mx
+    rly = (lx - sx) * sa + (ly - sy) * ca + my
+    first = last_pose[0] == -1
+    d2 = (rlx - last_pose[0]) ** 2 + (rly - last_pose[1]) ** 2
+    gate_hmm = first | (d2 < max_esti_dist * max_esti_dist)
+    gate = gate_len[:, :, None] & gate_hmm
+
+    feat = jnp.stack([ca, sa, sx, sy, mx, my, rlx, rly,
+                      geo.wrap_deg(ang_diff)], -1).reshape(S * M * 4, 9)
+    comp, mask, count = geo.masked_compact(feat, gate.reshape(-1),
+                                           max_candidates)
+    return Candidates(
+        ca=comp[:, 0], sa=comp[:, 1], sx=comp[:, 2], sy=comp[:, 3],
+        mx=comp[:, 4], my=comp[:, 5],
+        pose=comp[:, 6:9], mask=mask, count=count.astype(jnp.int32))
+
+
+def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
+                     z_occ_max_dis: float = 1.0,
+                     max_dist_penalty: float = 10.0,
+                     valid_ratio: float = 0.7,
+                     chunk: int = 256) -> jnp.ndarray:
+    """Score every candidate against the mapCache prior
+    (reference: CalcScore, myFA.cpp:357-396).
+
+    pixels: (P, 2) int32 scan-local pixel coords, pixels_mask: (P,).
+    Returns (K,) scores (inf where gated/invalid).
+
+    The (K, P) transform+gather+reduce is evaluated in K-chunks via
+    lax.map so the intermediate stays small; XLA fuses the rigid
+    transform and penalty math into the gather consumer.
+    """
+    rows, cols = map_cache.shape
+    dt = cand.ca.dtype
+    px = pixels[:, 0].astype(dt)
+    py = pixels[:, 1].astype(dt)
+    n_all = jnp.sum(pixels_mask).astype(dt)
+    cache_flat = map_cache.reshape(-1)
+
+    K = cand.ca.shape[0]
+    n_chunks = max(1, K // chunk)
+
+    def score_chunk(args):
+        ca, sa, sx, sy, mx, my = args
+        tx = (px[None, :] - sx[:, None]) * ca[:, None] - \
+            (py[None, :] - sy[:, None]) * sa[:, None] + mx[:, None]
+        ty = (px[None, :] - sx[:, None]) * sa[:, None] + \
+            (py[None, :] - sy[:, None]) * ca[:, None] + my[:, None]
+        ix = geo.c_round(tx).astype(jnp.int32)
+        iy = geo.c_round(ty).astype(jnp.int32)
+        inside = (ix >= 0) & (ix < cols) & (iy >= 0) & (iy < rows) & \
+            pixels_mask[None, :]
+        lin = jnp.clip(iy, 0, rows - 1) * cols + jnp.clip(ix, 0, cols - 1)
+        vals = jnp.take(cache_flat, lin.reshape(-1)).reshape(lin.shape)
+        at_cap = vals >= z_occ_max_dis
+        contrib = jnp.where(at_cap, max_dist_penalty, vals)
+        sum_d = jnp.sum(jnp.where(inside, contrib, 0.0), axis=1)
+        n_valid = jnp.sum(inside, axis=1).astype(dt)
+        score = sum_d / n_valid + \
+            max_dist_penalty * (n_all - n_valid) / n_all
+        return jnp.where(n_valid < valid_ratio * n_all, jnp.inf, score)
+
+    args = (cand.ca, cand.sa, cand.sx, cand.sy, cand.mx, cand.my)
+    if n_chunks > 1:
+        args = jax.tree.map(lambda a: a.reshape(n_chunks, -1), args)
+        scores = jax.lax.map(score_chunk, args).reshape(-1)
+    else:
+        scores = score_chunk(args)
+    return jnp.where(cand.mask, scores, jnp.inf)
+
+
+def fuse(cand: Candidates, scores, score_accept: float = 3.0
+         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Accept (score < 3) and fuse candidates.
+
+    Returns (pose_weighted (3,), fused_score, pose_argmin (3,), n_accepted):
+    the weighted mean path for tracking frames (myFA.cpp:159-171) and the
+    argmin path for HMM-chain first frames (myFA.cpp:96-108).
+    """
+    acc = scores < score_accept
+    w = jnp.where(acc, 1.0 / (scores * scores), 0.0)
+    sum_w = jnp.sum(w)
+    pose_w = jnp.sum(cand.pose * w[:, None], axis=0) / sum_w
+    n_acc = jnp.sum(acc)
+    fused_score = 1.0 / jnp.sqrt(sum_w / n_acc)
+    best = jnp.argmin(jnp.where(acc, scores, jnp.inf))
+    pose_min = cand.pose[best]
+    return pose_w, fused_score, pose_min, n_acc

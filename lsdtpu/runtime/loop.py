@@ -1,0 +1,234 @@
+"""Per-frame localization step and full-sequence rollout, compiled for TPU.
+
+TPU-native replacement for the reference driver loop (reference:
+LSD/main_on_windows.cpp:105-185).  The whole per-frame pipeline -
+scan featurization, candidate generation, dense scoring, fusion, driver
+state machine and UKF - is one jitted function; a sequence is a single
+`lax.scan` over stacked frames, so an entire trajectory runs on-device
+with no host round-trips.  Batching over sequences is `vmap`
+(runtime/batch.py); multi-chip sharding is `shard_map` (runtime/shard.py).
+
+Faithful-mode quirks (config.faithful):
+  * odometry rotation bug ScanPose.y = ty*sind(th) + ty*cosd(th)
+    (main_on_windows.cpp:151);
+  * the is_offset 360-degree angle fix triggered on frame 1
+    (main_on_windows.cpp:165-172).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsdtpu import geometry as geo
+from lsdtpu.config import EngineConfig, DEFAULT
+from lsdtpu.filter import ukf as fukf
+from lsdtpu.match import associate as assoc
+from lsdtpu.scan import featurize as feat_mod
+from lsdtpu.scan.featurize import featurize
+
+
+@dataclasses.dataclass
+class MapContext:
+    """Per-map static inputs for the online loop."""
+
+    lines: jnp.ndarray       # (M, 10)
+    lines_mask: jnp.ndarray  # (M,)
+    cache: jnp.ndarray       # (H, W) distance field (meters, capped)
+    resol: jnp.ndarray       # () scalars
+    ori_x: jnp.ndarray
+    ori_y: jnp.ndarray
+
+
+jax.tree_util.register_pytree_node(
+    MapContext,
+    lambda m: ((m.lines, m.lines_mask, m.cache, m.resol, m.ori_x,
+                m.ori_y), None),
+    lambda _, c: MapContext(*c))
+
+
+@dataclasses.dataclass
+class TrackState:
+    """Driver + filter carry (the reference's main()-local state)."""
+
+    kalman_x: jnp.ndarray    # (9,)
+    kalman_P: jnp.ndarray    # (9, 9)
+    last_pose: jnp.ndarray   # (3,)
+    ang_sum: jnp.ndarray     # () running sum of angRotate
+    ang_cnt: jnp.ndarray     # () int32
+    is_offset: jnp.ndarray   # () bool
+    frame: jnp.ndarray       # () int32, 1-based after first step
+
+
+jax.tree_util.register_pytree_node(
+    TrackState,
+    lambda s: ((s.kalman_x, s.kalman_P, s.last_pose, s.ang_sum, s.ang_cnt,
+                s.is_offset, s.frame), None),
+    lambda _, c: TrackState(*c))
+
+
+def init_state(dtype=jnp.float32) -> TrackState:
+    return TrackState(
+        kalman_x=jnp.asarray(fukf.RESET_X, dtype),
+        kalman_P=jnp.asarray(fukf.RESET_P, dtype),
+        last_pose=jnp.array([-1.0, -1.0, 0.0], dtype),
+        ang_sum=jnp.zeros((), dtype),
+        ang_cnt=jnp.zeros((), jnp.int32),
+        is_offset=jnp.zeros((), jnp.bool_),
+        frame=jnp.zeros((), jnp.int32))
+
+
+def localization_step(state: TrackState, frame_inputs, ctx: MapContext,
+                      cfg: EngineConfig = DEFAULT
+                      ) -> Tuple[TrackState, dict]:
+    """One frame: featurize + associate + fuse + UKF + driver state update.
+
+    frame_inputs: (ranges (N,), angles (N,), valid (N,), n (),
+                   odom_prev (3,), odom_cur (3,)).
+    Returns (new_state, outputs dict).
+    """
+    ranges, angles, valid, n, odom_prev, odom_cur = frame_inputs
+    sh = cfg.shapes
+    fs = featurize(ranges, angles, valid, n, ctx.resol, ctx.ori_x, ctx.ori_y,
+                   least_point=cfg.rdp.least_point,
+                   thre_line=cfg.rdp.thre_line,
+                   least_dist=cfg.rdp.least_dist,
+                   max_lines=sh.max_scan_lines,
+                   max_pixels=sh.max_scan_pixels)
+
+    # --- ScanPose from odometry (main_on_windows.cpp:132-153) ---
+    dt = ranges.dtype
+    is_first = jnp.abs(state.kalman_x[0] + 1) < 1e-4
+    theta = state.ang_sum / jnp.maximum(state.ang_cnt, 1).astype(dt)
+    tx = (odom_cur[0] - odom_prev[0]) / ctx.resol
+    ty = (odom_cur[1] - odom_prev[1]) / ctx.resol
+    tang = geo.atand(odom_cur[2] - odom_prev[2])
+    sp_x = tx * geo.cosd(theta) - ty * geo.sind(theta)
+    if cfg.faithful:
+        sp_y = ty * geo.sind(theta) + ty * geo.cosd(theta)  # reference bug
+    else:
+        sp_y = tx * geo.sind(theta) + ty * geo.cosd(theta)
+    scan_pose = jnp.where(is_first, jnp.zeros(3, dt),
+                          jnp.stack([sp_x, sp_y, tang]))
+
+    # --- association (trans2FA rounds the lidar pose, :229-230) ---
+    lidar_pose = geo.c_round(fs.lidar_pos)
+    cand = assoc.generate_candidates(
+        fs.lines, fs.lines_mask, ctx.lines, ctx.lines_mask,
+        lidar_pose, state.last_pose,
+        max_candidates=sh.max_candidates,
+        ignore_scan_length=cfg.match.ignore_scan_length,
+        scan_to_map_diff=cfg.match.scan_to_map_diff,
+        max_esti_dist=cfg.match.max_esti_dist)
+    scores = assoc.score_candidates(
+        cand, fs.pixels, fs.pixels_mask, ctx.cache,
+        z_occ_max_dis=cfg.map.z_occ_max_dis,
+        max_dist_penalty=cfg.match.max_dist_penalty,
+        valid_ratio=cfg.match.valid_ratio)
+    pose_w, fused_score, pose_min, n_acc = assoc.fuse(
+        cand, scores, cfg.match.score_accept)
+
+    # --- three-way outcome (myFA.cpp:69-175) ---
+    lost = n_acc == 0
+    hmm_first = state.last_pose[0] == -1
+
+    ukf_x, ukf_P = fukf.ukf_step(state.kalman_x, state.kalman_P,
+                                 scan_pose, pose_w)
+    first_x = state.kalman_x.at[:3].set(pose_min)
+
+    new_x = jnp.where(lost, jnp.asarray(fukf.RESET_X, dt),
+                      jnp.where(hmm_first, first_x, ukf_x))
+    new_P = jnp.where(lost, jnp.asarray(fukf.RESET_P, dt),
+                      jnp.where(hmm_first, state.kalman_P, ukf_P))
+    out_score = jnp.where(
+        lost, jnp.inf, jnp.where(hmm_first,
+                                 scores[jnp.argmin(scores)], fused_score))
+
+    # --- angRotate bookkeeping (main_on_windows.cpp:165-172) ---
+    frame = state.frame + 1
+    ang_diff = new_x[2] - geo.atand(odom_cur[2])
+    is_offset = state.is_offset | ((jnp.abs(ang_diff) > 90) & (frame == 1))
+    ang_diff = jnp.where(is_offset & (ang_diff < 0), ang_diff + 360,
+                         ang_diff)
+
+    new_state = TrackState(
+        kalman_x=new_x, kalman_P=new_P, last_pose=new_x[:3],
+        ang_sum=state.ang_sum + ang_diff, ang_cnt=state.ang_cnt + 1,
+        is_offset=is_offset, frame=frame)
+    outputs = {
+        "pose": new_x[:3],
+        "score": out_score,
+        "n_candidates": n_acc,
+        "n_scan_lines": jnp.sum(fs.lines_mask),
+        "candidate_overflow": cand.count > cand.mask.shape[0],
+    }
+    return new_state, outputs
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def run_sequence(frames, ctx: MapContext, cfg: EngineConfig = DEFAULT):
+    """Whole-sequence rollout as one lax.scan.
+
+    frames: dict of stacked per-frame inputs with leading frame axis:
+      ranges (F, N), angles (F, N), valid (F, N), n (F,),
+      odom_prev (F, 3), odom_cur (F, 3).
+    Returns stacked per-frame outputs (poses (F, 3), scores (F,), ...).
+    """
+    state = init_state(frames["ranges"].dtype)
+
+    def step(carry, fr):
+        inputs = (fr["ranges"], fr["angles"], fr["valid"], fr["n"],
+                  fr["odom_prev"], fr["odom_cur"])
+        return localization_step(carry, inputs, ctx, cfg)
+
+    _final, outs = jax.lax.scan(step, state, frames)
+    return outs
+
+
+def stack_frames(ds, dtype=np.float32, points_per_scan: int = 360,
+                 max_frames: Optional[int] = None) -> dict:
+    """Host-side: pad + stack a Dataset's frames for run_sequence."""
+    F = min(len(ds.frames), ds.odom.shape[0] - 1)
+    if max_frames is not None:
+        F = min(F, max_frames)
+    N = points_per_scan
+    ranges = np.zeros((F, N), dtype)
+    angles = np.zeros((F, N), dtype)
+    valid = np.zeros((F, N), bool)
+    counts = np.zeros((F,), np.int32)
+    for f in range(F):
+        fr = ds.frames[f]
+        k = min(len(fr), N)
+        ranges[f, :k] = fr[:k, 0]
+        angles[f, :k] = fr[:k, 1]
+        valid[f, :k] = True
+        counts[f] = k
+    odom = ds.odom.astype(dtype)
+    return {
+        "ranges": ranges, "angles": angles, "valid": valid, "n": counts,
+        "odom_prev": odom[0:F], "odom_cur": odom[1:F + 1],
+    }
+
+
+def make_map_context(map_lines: np.ndarray, map_cache: np.ndarray,
+                     resol: float, ori_x: float, ori_y: float,
+                     max_map_lines: int = 256,
+                     dtype=np.float32) -> MapContext:
+    """Host-side: pad map artifacts into a MapContext."""
+    M = max_map_lines
+    lines = np.zeros((M, 10), dtype)
+    mask = np.zeros((M,), bool)
+    k = min(map_lines.shape[0], M)
+    lines[:k] = map_lines[:k]
+    mask[:k] = True
+    return MapContext(
+        lines=jnp.asarray(lines), lines_mask=jnp.asarray(mask),
+        cache=jnp.asarray(map_cache, dtype),
+        resol=jnp.asarray(resol, dtype), ori_x=jnp.asarray(ori_x, dtype),
+        ori_y=jnp.asarray(ori_y, dtype))

@@ -1,0 +1,312 @@
+"""Per-frame scan featurization, compiled for TPU.
+
+TPU-native redesign of the reference scan pipeline (reference:
+LSD/myRDP.cpp).  Three departures from the C structure - all
+semantics-preserving:
+
+1. **Level-synchronous RDP.**  The reference recursively splits each
+   cluster at its max-deviation point (myRDP.cpp:219-272).  Recursion
+   order does not affect the final split set (each interval's decision
+   depends only on its endpoints), so we iterate rounds: every current
+   inter-marker interval evaluates its split simultaneously, until a
+   fixpoint.  One `lax.while_loop` of ~O(tree-depth) rounds of dense
+   masked vector math replaces the recursion.
+
+2. **Rotated index space.**  Only cell 0 can wrap around the scan
+   (myRDP.cpp:326-329).  Rotating all point indices by that cell's start
+   makes every cell a contiguous run, so interval logic needs no modular
+   arithmetic.
+
+3. **Analytic pixel clouds.**  The reference rasterizes each segment
+   into a shared image and collects marked pixels (myRDP.cpp:139-161).
+   The pixel set of a segment is a closed-form function of its endpoints
+   (major-axis stepping + rounding), so we evaluate it directly on a
+   fixed (segment, step) grid with a validity mask and compact - no
+   dynamic allocation, no image.  The out-of-bounds (0,0) sentinel and
+   the x==0/y==0 drop quirk are kept.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lsdtpu import geometry as geo
+from lsdtpu.config import RDPConfig, ShapeConfig
+
+PI = math.pi
+
+# range-dependent gap thresholds (reference: getThresholdDeltaDist,
+# LSD/myRDP.cpp:347-368); numpy so importing this module stays
+# backend-free
+import numpy as _np
+
+_GAP_BOUNDS = _np.array([0.3, 0.5, 0.8, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+_GAP_VALUES = _np.array([0.02, 0.05, 0.11, 0.17, 0.6, 0.7, 0.85, 0.9,
+                         1.0, 1.1])
+
+
+@dataclasses.dataclass
+class ScanFeatures:
+    """Fixed-shape scan features (the structFeatureScan equivalent)."""
+
+    lines: jnp.ndarray       # (S, 10) linesInfo rows, scan-local px coords
+    lines_mask: jnp.ndarray  # (S,)
+    pixels: jnp.ndarray      # (P, 2) int32 scan-local pixel coords
+    pixels_mask: jnp.ndarray  # (P,)
+    lidar_pos: jnp.ndarray   # (2,) scan-local pixel coords (already integral)
+    n_pixels: jnp.ndarray    # () int32
+
+
+def gap_threshold(ranges):
+    idx = jnp.searchsorted(jnp.asarray(_GAP_BOUNDS, ranges.dtype), ranges,
+                           side='left')
+    return jnp.asarray(_GAP_VALUES, ranges.dtype)[idx]
+
+
+def _segment_cells(ranges, xs, ys, valid, n, least_point: int):
+    """Gap clustering (reference: RegionSegmentation, myRDP.cpp:274-345).
+
+    Returns (cell_id, rot):
+      cell_id[i] - id of the kept cell containing point i (the cell's end
+                   index), or N if i is in no kept cell;
+      rot        - rotation offset making every cell a contiguous run
+                   (= wrapped trailing-run start, else 0).
+
+    Wrap quirk: if the last point connects back to the first, the
+    trailing run overwrites the FIRST KEPT cell's start
+    (myRDP.cpp:326-329); the merged cell then covers the trailing run
+    plus everything from index 0 through that cell's end - including
+    points of any dropped cells in between.
+    """
+    N = ranges.shape[0]
+    idx = jnp.arange(N)
+    nxt = jnp.where(idx == n - 1, 0, idx + 1)
+    dx = xs - xs[nxt]
+    dy = ys - ys[nxt]
+    delta = jnp.sqrt(dx * dx + dy * dy)
+    brk = (delta > gap_threshold(ranges)) & valid
+
+    # cell k ends at break index e_k, starts after the previous break;
+    # kept iff (e_k - start_k) >= least_point (myRDP.cpp:317-318).
+    prev_brk = _prev_set_index(brk, N)        # last break strictly before i
+    start = prev_brk + 1
+    keep_end = brk & ((idx - start) >= least_point)
+
+    next_brk = _next_set_index(brk, N)        # first break at/after i
+    nb = jnp.clip(next_brk, 0, N - 1)
+    cell_id = jnp.where(valid & (next_brk < N) & keep_end[nb], next_brk, N)
+
+    last = jnp.clip(n - 1, 0, N - 1)
+    last_brk = jnp.max(jnp.where(brk, idx, -1))
+    has_brk = last_brk >= 0
+    first_kept_end = jnp.min(jnp.where(keep_end, idx, N))
+    wraps = has_brk & ~brk[last] & (first_kept_end < N)
+    rot = jnp.where(wraps, last_brk + 1, 0)
+    merged = wraps & valid & ((idx >= rot) | (idx <= first_kept_end))
+    cell_id = jnp.where(merged, first_kept_end, cell_id)
+    return cell_id, rot
+
+
+def _prev_set_index(mask, N):
+    """For each i, the largest j < i with mask[j], else -1 (via cummax)."""
+    idx = jnp.where(mask, jnp.arange(N), -1)
+    run = jax.lax.associative_scan(jnp.maximum, idx)
+    return jnp.concatenate([jnp.array([-1]), run[:-1]])
+
+
+def _next_set_index(mask, N):
+    """For each i, the smallest j >= i with mask[j], else N (via cummin)."""
+    idx = jnp.where(mask, jnp.arange(N), N)
+    return jax.lax.associative_scan(jnp.minimum, idx, reverse=True)
+
+
+def _point_line_distance(px, py, ax, ay, bx, by):
+    """|k*x - y + d| / sqrt(k^2+1) with k from A->B (myRDP.cpp:241-259).
+
+    Uses the same slope-intercept formulation as the reference (not the
+    stable cross-product form) so borderline split decisions agree.
+    """
+    k = (by - ay) / (bx - ax)
+    d = by - k * bx
+    return jnp.abs(k * px - py + d) / jnp.sqrt(k * k + 1.0)
+
+
+def _rdp_rounds(gwx, gwy, ranges_r, marker, interior_ok, thre_line: float,
+                max_rounds: int):
+    """Level-synchronous RDP to fixpoint.
+
+    gwx/gwy: world coords in rotated order; ranges_r: ranges in rotated
+    order; marker: initial markers (cell starts+ends); interior_ok[i]:
+    point may become a split (strictly inside a cell).
+    """
+    N = gwx.shape[0]
+    idx = jnp.arange(N)
+
+    def body(state):
+        marker, _changed, it = state
+        prev = _prev_set_index(marker, N)          # marker strictly before i
+        nxt = _next_set_index(marker, N)           # marker at/after i
+        # interior points: not a marker themselves
+        interior = interior_ok & ~marker & (prev >= 0) & (nxt < N)
+        a = jnp.clip(prev, 0, N - 1)
+        b = jnp.clip(nxt, 0, N - 1)
+        dist = _point_line_distance(gwx, gwy, gwx[a], gwy[a], gwx[b], gwy[b])
+        dist = jnp.where(interior & ~jnp.isnan(dist), dist, -jnp.inf)
+        # segmented first-argmax keyed by interval start (reference keeps
+        # the first strict maximum, myRDP.cpp:247-251)
+        seg = jnp.where(interior, a, N)
+        seg_max = jax.ops.segment_max(dist, seg, num_segments=N + 1,
+                                      indices_are_sorted=False)
+        is_max = interior & (dist == seg_max[seg]) & jnp.isfinite(dist)
+        first_max = jax.ops.segment_min(jnp.where(is_max, idx, N), seg,
+                                        num_segments=N + 1)
+        i_max = first_max[seg]
+        # reference: interval len must exceed 2 points; with our marker
+        # construction an interval of len<=2 simply has no interior.
+        r_imax = ranges_r[jnp.clip(i_max, 0, N - 1)]
+        thre = jnp.where(r_imax > 9.0, r_imax * thre_line, thre_line)
+        new_marker = is_max & (idx == i_max) & (seg_max[seg] > thre)
+        changed = jnp.any(new_marker & ~marker)
+        return marker | new_marker, changed, it + 1
+
+    def cond(state):
+        _m, changed, it = state
+        return changed & (it < max_rounds)
+
+    marker, _c, _i = jax.lax.while_loop(
+        cond, body, (marker, jnp.array(True), jnp.array(0)))
+    return marker
+
+
+def _segment_pixels(x1, y1, x2, y2, x_lim, y_lim, t):
+    """Analytic pixel cloud of one segment on a fixed step grid
+    (reference rasterizer: myRDP.cpp:96-161).  t: (T,) step indices.
+    Returns (xx, yy, valid)."""
+    xr = jnp.abs(x2 - x1)
+    yr = jnp.abs(y2 - y1)
+    x_low = jnp.floor(jnp.minimum(x1, x2))
+    x_high = jnp.ceil(jnp.maximum(x1, x2))
+    y_low = jnp.floor(jnp.minimum(y1, y2))
+    y_high = jnp.ceil(jnp.maximum(y1, y2))
+    xx_len = x_high - x_low + 1
+    yy_len = y_high - y_low + 1
+    k = (y2 - y1) / (x2 - x1)
+    x_major = xr > yr
+    # x-major: xx = xLow + t, yy = round((xx-x1)*k + y1)
+    xxa = x_low + t
+    yya = geo.c_round((xxa - x1) * k + y1)
+    # y-major: yy = yLow + t, xx = round((yy-y1)/k + x1)
+    yyb = y_low + t
+    xxb = geo.c_round((yyb - y1) / k + x1)
+    xx = jnp.where(x_major, xxa, xxb)
+    yy = jnp.where(x_major, yya, yyb)
+    n_steps = jnp.where(x_major, xx_len, yy_len)
+    in_grid = (xx >= 0) & (xx < x_lim) & (yy >= 0) & (yy < y_lim)
+    xx = jnp.where(in_grid, xx, 0.0)
+    yy = jnp.where(in_grid, yy, 0.0)
+    valid = (t < n_steps) & (xx != 0) & (yy != 0)   # (0,0)/axis sentinel drop
+    return xx, yy, valid
+
+
+@partial(jax.jit, static_argnames=("least_point", "thre_line", "least_dist",
+                                   "max_lines", "max_pixels", "max_steps"))
+def featurize(ranges, angles, valid, n, resol, ori_x, ori_y,
+              least_point: int = 3, thre_line: float = 0.08,
+              least_dist: float = 0.5, max_lines: int = 64,
+              max_pixels: int = 2048, max_steps: int = 512):
+    """Full scan featurization: clustering + RDP + segment extraction +
+    pixel cloud (reference: FeatureScan, myRDP.cpp:9-185).
+
+    ranges/angles: (N,) padded polar points (valid points first);
+    valid: (N,) bool; n: () int32 count.
+    Returns a ScanFeatures pytree.
+    """
+    N = ranges.shape[0]
+    dtype = ranges.dtype
+    idx = jnp.arange(N)
+
+    xs = ranges * jnp.cos(angles)
+    ys = ranges * jnp.sin(angles)
+    cell_id, rot = _segment_cells(ranges, xs, ys, valid, n, least_point)
+
+    # rotate index space so every cell is contiguous (quirk 2 above)
+    r_abs = jnp.mod(idx + rot, jnp.maximum(n, 1))    # rotated pos -> abs idx
+    r_abs = jnp.where(idx < n, r_abs, idx)           # padding unchanged
+    cell_id_r = cell_id[r_abs]
+    in_cell_r = cell_id_r < N
+    gwx = xs[r_abs]
+    gwy = ys[r_abs]
+    rng_r = ranges[r_abs]
+
+    # cell starts/ends in rotated space: cell_id run boundaries
+    prev_id = jnp.concatenate([jnp.array([N]), cell_id_r[:-1]])
+    next_id = jnp.concatenate([cell_id_r[1:], jnp.array([N])])
+    cell_start_r = in_cell_r & (cell_id_r != prev_id)
+    cell_end_r = in_cell_r & (cell_id_r != next_id)
+    marker0 = cell_start_r | cell_end_r
+    interior_ok = in_cell_r & ~cell_start_r & ~cell_end_r
+
+    marker = _rdp_rounds(gwx, gwy, rng_r, marker0, interior_ok, thre_line,
+                         max_rounds=N)
+
+    # --- segment extraction (myRDP.cpp:45-177) ---
+    # pixel-space projection (scanPose == 0 in the current driver)
+    gx = jnp.floor((xs - ori_x) / resol)
+    gy = jnp.floor((ys - ori_y) / resol)
+    big = jnp.array(jnp.inf, dtype)
+    min_x = jnp.min(jnp.where(valid, gx, big))
+    max_x = jnp.max(jnp.where(valid, gx, -big))
+    min_y = jnp.min(jnp.where(valid, gy, big))
+    max_y = jnp.max(jnp.where(valid, gy, -big))
+    x_lim = jnp.ceil(max_x - min_x)
+    y_lim = jnp.ceil(max_y - min_y)
+    lidar_pos = jnp.stack([jnp.floor((0.0 - ori_x) / resol - min_x),
+                           jnp.floor((0.0 - ori_y) / resol - min_y)])
+
+    gx_r = gx[r_abs]
+    gy_r = gy[r_abs]
+    at_after = _next_set_index(marker, N)
+    nxt_marker = jnp.concatenate([at_after[1:], jnp.array([N])])  # strictly >
+    # segment per marker i (except cell ends): (i, next marker)
+    b = jnp.clip(nxt_marker, 0, N - 1)
+    seg_from = marker & ~cell_end_r & (nxt_marker < N) & in_cell_r
+    ax_, ay_ = gx_r, gy_r
+    bx_, by_ = gx_r[b], gy_r[b]
+    seg_len = jnp.sqrt((ax_ - bx_) ** 2 + (ay_ - by_) ** 2)
+    seg_keep = seg_from & (seg_len >= least_dist / resol)
+
+    ends = jnp.stack([ax_ - min_x, ay_ - min_y, bx_ - min_x, by_ - min_y],
+                     axis=-1)
+    seg_ends, lines_mask, _ = geo.masked_compact(ends, seg_keep, max_lines)
+    lines = geo.lines_info_from_endpoints(
+        seg_ends[:, 0], seg_ends[:, 1], seg_ends[:, 2], seg_ends[:, 3])
+    # keep padded rows harmless (k would be 0/0 = NaN otherwise)
+    lines = jnp.where(lines_mask[:, None], lines, 0.0)
+
+    # --- pixel cloud on (S, T) grid, then compact ---
+    t = jnp.arange(max_steps, dtype=dtype)
+    px_x, px_y, px_ok = jax.vmap(
+        lambda e, m: _segment_pixels(e[0], e[1], e[2], e[3],
+                                     x_lim, y_lim, t)
+    )(seg_ends, lines_mask)
+    px_ok = px_ok & lines_mask[:, None]
+    flat = jnp.stack([px_x.reshape(-1), px_y.reshape(-1)], axis=-1)
+    pix, pixels_mask, n_pix = geo.masked_compact(
+        flat, px_ok.reshape(-1), max_pixels)
+    return ScanFeatures(
+        lines=lines, lines_mask=lines_mask,
+        pixels=pix.astype(jnp.int32), pixels_mask=pixels_mask,
+        lidar_pos=lidar_pos, n_pixels=n_pix.astype(jnp.int32))
+
+
+jax.tree_util.register_pytree_node(
+    ScanFeatures,
+    lambda s: ((s.lines, s.lines_mask, s.pixels, s.pixels_mask,
+                s.lidar_pos, s.n_pixels), None),
+    lambda _, c: ScanFeatures(*c))

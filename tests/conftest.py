@@ -1,0 +1,48 @@
+"""Test configuration: force the CPU backend with 8 virtual devices so
+sharding/collective code paths run without TPU hardware, and enable x64
+so parity tests against the float64 numpy oracle are meaningful.
+
+Must run before jax is imported anywhere in the test process.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# jax may already be imported by a pytest plugin before this conftest
+# runs, so set the platform through the config API (effective until the
+# first backend initialization) rather than relying on the env var.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DATA = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def data_root():
+    if not os.path.isdir(REFERENCE_DATA):
+        pytest.skip("reference datasets not mounted")
+    return REFERENCE_DATA
+
+
+@pytest.fixture(scope="session")
+def dataset_small(data_root):
+    """data/ with the default 1377x428 map - 99 frames."""
+    from lsdtpu.io import load_dataset
+    return load_dataset(os.path.join(data_root, "data"))
+
+
+@pytest.fixture(scope="session")
+def dataset_data1(data_root):
+    from lsdtpu.io import load_dataset
+    return load_dataset(
+        os.path.join(data_root, "data_20190513/data_f3key/data1"))

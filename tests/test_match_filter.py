@@ -1,0 +1,88 @@
+"""Feature association + UKF vs the numpy oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lsdtpu.filter import ukf_step
+from lsdtpu.match import fuse, generate_candidates, score_candidates
+from lsdtpu.oracle import fa as ofa
+from lsdtpu.oracle import rdp as ordp
+from lsdtpu.oracle import driver as odrv
+
+
+@pytest.fixture(scope="module")
+def map_art(dataset_small):
+    ds = dataset_small
+    return odrv.prepare_map(ds.map_value, ds.param.resol)
+
+
+def _features(ds, fi):
+    fr = ds.frames[fi]
+    return ordp.feature_scan(fr[:, 0], fr[:, 1], ds.param.resol,
+                             ds.param.ori_x, ds.param.ori_y)
+
+
+def _pad_lines(lines, cap):
+    out = np.zeros((cap, 10))
+    mask = np.zeros(cap, bool)
+    out[:len(lines)] = lines
+    mask[:len(lines)] = True
+    return jnp.asarray(out), jnp.asarray(mask)
+
+
+@pytest.mark.parametrize("fi,last_pose", [
+    (0, (-1.0, -1.0, 0.0)),          # first frame: no HMM gate
+    (5, (280.0, 220.0, -5.0)),       # tracking frame: gated
+])
+def test_candidates_and_scores_match_oracle(dataset_small, map_art, fi,
+                                            last_pose):
+    ds = dataset_small
+    fs = _features(ds, fi)
+    lidar = (round(fs.lidar_pos[0]), round(fs.lidar_pos[1]))
+    ocands = ofa.scan_to_map_candidates(
+        fs.lines_info, map_art.lines_info, fs.scan_im_point,
+        lidar, last_pose, map_art.map_cache)
+
+    sl, sm = _pad_lines(fs.lines_info, 64)
+    ml, mm = _pad_lines(map_art.lines_info, 256)
+    pix = np.zeros((2048, 2), np.int32)
+    pmask = np.zeros(2048, bool)
+    pix[:len(fs.scan_im_point)] = fs.scan_im_point
+    pmask[:len(fs.scan_im_point)] = True
+
+    cand = generate_candidates(sl, sm, ml, mm,
+                               jnp.asarray(lidar, jnp.float64),
+                               jnp.asarray(last_pose, jnp.float64), 4096)
+    scores = np.asarray(score_candidates(cand, jnp.asarray(pix),
+                                         jnp.asarray(pmask),
+                                         jnp.asarray(map_art.map_cache)))
+    acc = scores < 3.0
+    # oracle only records accepted candidates; same count and same
+    # (pose, score) multiset
+    assert int(acc.sum()) == len(ocands)
+    got = sorted(zip(np.asarray(cand.pose)[acc][:, 0].tolist(),
+                     scores[acc].tolist()))
+    want = sorted((c.x, c.score) for c in ocands)
+    np.testing.assert_allclose(np.array(got), np.array(want), atol=1e-9)
+
+    pw, fscore, pmin, nacc = fuse(cand, jnp.asarray(scores))
+    est = ofa.fuse_candidates(ocands)
+    if est is not None:
+        np.testing.assert_allclose(np.asarray(pw),
+                                   [est.x, est.y, est.ang], atol=1e-9)
+        np.testing.assert_allclose(float(fscore), est.score, atol=1e-9)
+
+
+def test_ukf_matches_oracle():
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=9)
+    A = rng.normal(size=(9, 9))
+    P = A @ A.T + 9 * np.eye(9)
+    sp = (0.4, -0.2, 0.05)
+    meas = (x[0] + 0.5, x[1] - 0.3, x[2] + 0.01)
+    ox, oP = ofa.ukf(x, P, sp, meas)
+    jx, jP = ukf_step(jnp.asarray(x), jnp.asarray(P), jnp.asarray(sp),
+                      jnp.asarray(meas))
+    np.testing.assert_allclose(np.asarray(jx), ox, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(jP), oP, atol=1e-8)
