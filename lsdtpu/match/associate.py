@@ -133,6 +133,7 @@ def generate_candidates(scan_lines, scan_mask, map_lines, map_mask,
 
 
 def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
+                     rows=None, cols=None,
                      z_occ_max_dis: float = 1.0,
                      max_dist_penalty: float = 10.0,
                      valid_ratio: float = 0.7,
@@ -141,13 +142,19 @@ def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
     (reference: CalcScore, myFA.cpp:357-396).
 
     pixels: (P, 2) int32 scan-local pixel coords, pixels_mask: (P,).
+    rows/cols: true map extent (traced); defaults to map_cache.shape -
+    pass explicitly when the cache is padded to a common batch canvas.
     Returns (K,) scores (inf where gated/invalid).
 
     The (K, P) transform+gather+reduce is evaluated in K-chunks via
     lax.map so the intermediate stays small; XLA fuses the rigid
     transform and penalty math into the gather consumer.
     """
-    rows, cols = map_cache.shape
+    pad_rows, pad_cols = map_cache.shape
+    if rows is None:
+        rows = pad_rows
+    if cols is None:
+        cols = pad_cols
     dt = cand.ca.dtype
     px = pixels[:, 0].astype(dt)
     py = pixels[:, 1].astype(dt)
@@ -167,7 +174,8 @@ def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
         iy = geo.c_round(ty).astype(jnp.int32)
         inside = (ix >= 0) & (ix < cols) & (iy >= 0) & (iy < rows) & \
             pixels_mask[None, :]
-        lin = jnp.clip(iy, 0, rows - 1) * cols + jnp.clip(ix, 0, cols - 1)
+        lin = jnp.clip(iy, 0, pad_rows - 1) * pad_cols + \
+            jnp.clip(ix, 0, pad_cols - 1)
         vals = jnp.take(cache_flat, lin.reshape(-1)).reshape(lin.shape)
         at_cap = vals >= z_occ_max_dis
         contrib = jnp.where(at_cap, max_dist_penalty, vals)
@@ -186,20 +194,43 @@ def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
     return jnp.where(cand.mask, scores, jnp.inf)
 
 
-def fuse(cand: Candidates, scores, score_accept: float = 3.0
+def fuse(cand: Candidates, scores, score_accept: float = 3.0,
+         axis_name: str | None = None
          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Accept (score < 3) and fuse candidates.
 
-    Returns (pose_weighted (3,), fused_score, pose_argmin (3,), n_accepted):
-    the weighted mean path for tracking frames (myFA.cpp:159-171) and the
-    argmin path for HMM-chain first frames (myFA.cpp:96-108).
+    Returns (pose_weighted (3,), fused_score, pose_argmin (3,),
+    min_score, n_accepted): the weighted mean path for tracking frames
+    (myFA.cpp:159-171) and the argmin path for HMM-chain first frames
+    (myFA.cpp:96-108).
+
+    With `axis_name`, candidates are sharded across that mesh axis (map-
+    line tensor parallelism): the weighted mean is a plain sum reduction
+    so a psum of (sum_w, sum_pose, n) reproduces the single-device result
+    exactly; the argmin is a pmin with lowest-rank tie-breaking.
     """
     acc = scores < score_accept
     w = jnp.where(acc, 1.0 / (scores * scores), 0.0)
     sum_w = jnp.sum(w)
-    pose_w = jnp.sum(cand.pose * w[:, None], axis=0) / sum_w
+    sum_pose = jnp.sum(cand.pose * w[:, None], axis=0)
     n_acc = jnp.sum(acc)
-    fused_score = 1.0 / jnp.sqrt(sum_w / n_acc)
-    best = jnp.argmin(jnp.where(acc, scores, jnp.inf))
+    masked = jnp.where(acc, scores, jnp.inf)
+    best = jnp.argmin(masked)
+    min_score = masked[best]
     pose_min = cand.pose[best]
-    return pose_w, fused_score, pose_min, n_acc
+    if axis_name is not None:
+        sum_w = jax.lax.psum(sum_w, axis_name)
+        sum_pose = jax.lax.psum(sum_pose, axis_name)
+        n_acc = jax.lax.psum(n_acc, axis_name)
+        g_min = jax.lax.pmin(min_score, axis_name)
+        n_dev = jax.lax.axis_size(axis_name)
+        rank = jax.lax.axis_index(axis_name)
+        owner = jax.lax.pmin(jnp.where(min_score == g_min, rank, n_dev),
+                             axis_name)
+        pose_min = jax.lax.psum(
+            jnp.where(rank == owner, pose_min, jnp.zeros_like(pose_min)),
+            axis_name)
+        min_score = g_min
+    pose_w = sum_pose / sum_w
+    fused_score = 1.0 / jnp.sqrt(sum_w / n_acc)
+    return pose_w, fused_score, pose_min, min_score, n_acc

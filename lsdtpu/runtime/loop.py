@@ -36,11 +36,18 @@ from lsdtpu.scan.featurize import featurize
 
 @dataclasses.dataclass
 class MapContext:
-    """Per-map static inputs for the online loop."""
+    """Per-map static inputs for the online loop.
+
+    rows/cols are the TRUE map dims as traced scalars: cache may be
+    padded to a common canvas when batching maps, and the reference's
+    in-map bounds test (myFA.cpp:372) must use the real extent.
+    """
 
     lines: jnp.ndarray       # (M, 10)
     lines_mask: jnp.ndarray  # (M,)
     cache: jnp.ndarray       # (H, W) distance field (meters, capped)
+    rows: jnp.ndarray        # () int32 true height
+    cols: jnp.ndarray        # () int32 true width
     resol: jnp.ndarray       # () scalars
     ori_x: jnp.ndarray
     ori_y: jnp.ndarray
@@ -48,8 +55,8 @@ class MapContext:
 
 jax.tree_util.register_pytree_node(
     MapContext,
-    lambda m: ((m.lines, m.lines_mask, m.cache, m.resol, m.ori_x,
-                m.ori_y), None),
+    lambda m: ((m.lines, m.lines_mask, m.cache, m.rows, m.cols, m.resol,
+                m.ori_x, m.ori_y), None),
     lambda _, c: MapContext(*c))
 
 
@@ -85,7 +92,8 @@ def init_state(dtype=jnp.float32) -> TrackState:
 
 
 def localization_step(state: TrackState, frame_inputs, ctx: MapContext,
-                      cfg: EngineConfig = DEFAULT
+                      cfg: EngineConfig = DEFAULT,
+                      tp_axis: Optional[str] = None
                       ) -> Tuple[TrackState, dict]:
     """One frame: featurize + associate + fuse + UKF + driver state update.
 
@@ -128,11 +136,12 @@ def localization_step(state: TrackState, frame_inputs, ctx: MapContext,
         max_esti_dist=cfg.match.max_esti_dist)
     scores = assoc.score_candidates(
         cand, fs.pixels, fs.pixels_mask, ctx.cache,
+        rows=ctx.rows, cols=ctx.cols,
         z_occ_max_dis=cfg.map.z_occ_max_dis,
         max_dist_penalty=cfg.match.max_dist_penalty,
         valid_ratio=cfg.match.valid_ratio)
-    pose_w, fused_score, pose_min, n_acc = assoc.fuse(
-        cand, scores, cfg.match.score_accept)
+    pose_w, fused_score, pose_min, min_score, n_acc = assoc.fuse(
+        cand, scores, cfg.match.score_accept, axis_name=tp_axis)
 
     # --- three-way outcome (myFA.cpp:69-175) ---
     lost = n_acc == 0
@@ -146,9 +155,8 @@ def localization_step(state: TrackState, frame_inputs, ctx: MapContext,
                       jnp.where(hmm_first, first_x, ukf_x))
     new_P = jnp.where(lost, jnp.asarray(fukf.RESET_P, dt),
                       jnp.where(hmm_first, state.kalman_P, ukf_P))
-    out_score = jnp.where(
-        lost, jnp.inf, jnp.where(hmm_first,
-                                 scores[jnp.argmin(scores)], fused_score))
+    out_score = jnp.where(lost, jnp.inf,
+                          jnp.where(hmm_first, min_score, fused_score))
 
     # --- angRotate bookkeeping (main_on_windows.cpp:165-172) ---
     frame = state.frame + 1
@@ -230,5 +238,7 @@ def make_map_context(map_lines: np.ndarray, map_cache: np.ndarray,
     return MapContext(
         lines=jnp.asarray(lines), lines_mask=jnp.asarray(mask),
         cache=jnp.asarray(map_cache, dtype),
+        rows=jnp.asarray(map_cache.shape[0], jnp.int32),
+        cols=jnp.asarray(map_cache.shape[1], jnp.int32),
         resol=jnp.asarray(resol, dtype), ori_x=jnp.asarray(ori_x, dtype),
         ori_y=jnp.asarray(ori_y, dtype))

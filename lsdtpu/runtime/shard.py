@@ -1,0 +1,117 @@
+"""Multi-chip execution: dp x tp sharding over a jax.sharding.Mesh.
+
+The reference's only parallelism is a 30-thread pthread pool fanning out
+candidate-scoring tasks on one host (LSD/myFA.cpp:22-62).  The TPU
+design shards two axes over the device mesh:
+
+  * **dp** (data parallel): independent sequences - no communication;
+  * **tp** (tensor parallel): the map-line axis of the candidate space.
+    Each device gates+scores the hypotheses of its map-line shard
+    against the (replicated) scan features, and fusion reduces with a
+    single `psum` of (sum_w, sum(pose*w), n) per frame - exact, because
+    the reference's inverse-square-score weighted mean is itself a sum
+    reduction (myFA.cpp:159-171).  First-frame argmin uses `pmin` with
+    lowest-rank tie-break.
+
+The mapCache prior is replicated (a few MB per map); for maps too large
+to replicate, shard it spatially and psum the per-pixel partial sums of
+CalcScore - see ops/score_pallas.py for the kernel-level variant.
+
+All collectives ride ICI inside one slice; sequences never communicate,
+so scaling to multi-host pods puts dp on DCN and tp on ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from lsdtpu.config import EngineConfig, DEFAULT
+from lsdtpu.runtime.loop import (MapContext, init_state, localization_step)
+
+TP_AXIS = "tp"
+DP_AXIS = "dp"
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None
+              ) -> Mesh:
+    """Build a (dp, tp) mesh over the available devices.
+
+    dp defaults to the largest power-of-two divisor <= sqrt(n); pass
+    dp=1 for pure tensor parallelism or dp=n for pure data parallelism.
+    """
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    if dp is None:
+        dp = 1
+        while dp * 2 <= n // (dp * 2) and n % (dp * 2) == 0:
+            dp *= 2
+        while n % dp != 0:
+            dp //= 2
+    tp = n // dp
+    arr = np.array(devs).reshape(dp, tp)
+    return Mesh(arr, (DP_AXIS, TP_AXIS))
+
+
+def _frames_spec():
+    return {
+        "ranges": P(DP_AXIS), "angles": P(DP_AXIS), "valid": P(DP_AXIS),
+        "n": P(DP_AXIS), "odom_prev": P(DP_AXIS), "odom_cur": P(DP_AXIS),
+    }
+
+
+def _ctx_spec():
+    return MapContext(
+        lines=P(DP_AXIS, TP_AXIS), lines_mask=P(DP_AXIS, TP_AXIS),
+        cache=P(DP_AXIS), rows=P(DP_AXIS), cols=P(DP_AXIS),
+        resol=P(DP_AXIS), ori_x=P(DP_AXIS), ori_y=P(DP_AXIS))
+
+
+def _out_spec():
+    return {
+        "pose": P(DP_AXIS), "score": P(DP_AXIS),
+        "n_candidates": P(DP_AXIS), "n_scan_lines": P(DP_AXIS),
+        "candidate_overflow": P(DP_AXIS),
+    }
+
+
+def run_batch_sharded(frames, ctxs: MapContext, mesh: Mesh,
+                      cfg: EngineConfig = DEFAULT):
+    """Sharded batched rollout.
+
+    frames: pytree with (B, F, ...) axes (B divisible by mesh dp size);
+    ctxs: MapContext with (B, ...) axes; map lines padded to a multiple
+    of the tp size.  Returns outputs with (B, F, ...) axes, replicated
+    over tp.
+    """
+
+    def device_fn(fr, cx):
+        # local shapes: fr (B/dp, F, ...); cx.lines (B/dp, M/tp, 10)
+        def one_seq(fr1, cx1):
+            state = init_state(fr1["ranges"].dtype)
+
+            def step(carry, f):
+                inputs = (f["ranges"], f["angles"], f["valid"], f["n"],
+                          f["odom_prev"], f["odom_cur"])
+                return localization_step(carry, inputs, cx1, cfg,
+                                         tp_axis=TP_AXIS)
+
+            _s, outs = jax.lax.scan(step, state, fr1)
+            return outs
+
+        return jax.vmap(one_seq)(fr, cx)
+
+    fn = shard_map(device_fn, mesh=mesh,
+                   in_specs=(_frames_spec(), _ctx_spec()),
+                   out_specs=_out_spec(), check_vma=False)
+    with mesh:
+        return jax.jit(fn)(frames, ctxs)

@@ -15,10 +15,12 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-# jax may already be imported by a pytest plugin before this conftest
-# runs, so set the platform through the config API (effective until the
-# first backend initialization) rather than relying on the env var.
+# jax is already imported by the environment's sitecustomize (which also
+# forces JAX_PLATFORMS=axon), so env vars are ineffective here: set the
+# platform and virtual device count through the config API, which works
+# until the first backend initialization.
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

@@ -66,7 +66,7 @@ def test_candidates_and_scores_match_oracle(dataset_small, map_art, fi,
     want = sorted((c.x, c.score) for c in ocands)
     np.testing.assert_allclose(np.array(got), np.array(want), atol=1e-9)
 
-    pw, fscore, pmin, nacc = fuse(cand, jnp.asarray(scores))
+    pw, fscore, pmin, minsc, nacc = fuse(cand, jnp.asarray(scores))
     est = ofa.fuse_candidates(ocands)
     if est is not None:
         np.testing.assert_allclose(np.asarray(pw),

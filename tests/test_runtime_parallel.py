@@ -1,0 +1,78 @@
+"""Batched (vmap) and sharded (shard_map over a dp x tp mesh) rollouts
+must reproduce the single-sequence jitted rollout exactly (f64).
+
+Runs on 8 virtual CPU devices (conftest) - the same code path the
+driver's multi-chip dry-run and real TPU meshes exercise.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from lsdtpu.config import DEFAULT
+from lsdtpu.oracle import driver as odrv
+from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
+from lsdtpu.runtime.batch import run_batch, stack_batch
+from lsdtpu.runtime.shard import make_mesh, run_batch_sharded
+
+NF = 12
+
+
+@pytest.fixture(scope="module")
+def map_art(dataset_small):
+    ds = dataset_small
+    return odrv.prepare_map(ds.map_value, ds.param.resol)
+
+
+@pytest.fixture(scope="module")
+def single_ref(dataset_small, map_art):
+    ds = dataset_small
+    ctx = make_map_context(map_art.lines_info, map_art.map_cache,
+                           ds.param.resol, ds.param.ori_x, ds.param.ori_y,
+                           dtype=np.float64)
+    frames = stack_frames(ds, dtype=np.float64, max_frames=NF)
+    return jax.tree.map(np.asarray, run_sequence(frames, ctx, DEFAULT))
+
+
+@pytest.fixture(scope="module")
+def batch_inputs(dataset_small, map_art):
+    ds = dataset_small
+    art = (map_art.lines_info, map_art.map_cache)
+    return stack_batch([ds, ds], [art, art], dtype=np.float64,
+                       max_frames=NF)
+
+
+def test_vmap_batch_matches_single(batch_inputs, single_ref):
+    frames, ctxs, lens = batch_inputs
+    outs = jax.tree.map(np.asarray, run_batch(frames, ctxs, DEFAULT))
+    assert lens.tolist() == [NF, NF]
+    for b in range(2):
+        np.testing.assert_allclose(outs["pose"][b], single_ref["pose"],
+                                   atol=1e-12)
+        np.testing.assert_array_equal(outs["n_candidates"][b],
+                                      single_ref["n_candidates"])
+
+
+def test_shard_map_dp_tp_matches_single(batch_inputs, single_ref):
+    frames, ctxs, lens = batch_inputs
+    mesh = make_mesh()  # 8 virtual devices -> (dp=2, tp=4)
+    assert mesh.devices.size == 8
+    outs = jax.tree.map(
+        np.asarray, run_batch_sharded(frames, ctxs, mesh, DEFAULT))
+    for b in range(2):
+        np.testing.assert_allclose(outs["pose"][b], single_ref["pose"],
+                                   atol=1e-9)
+        np.testing.assert_array_equal(outs["n_candidates"][b],
+                                      single_ref["n_candidates"])
+
+
+def test_pure_tp_mesh_matches_single(batch_inputs, single_ref):
+    """tp-only mesh: the candidate axis fully sharded, psum fusion."""
+    frames, ctxs, lens = batch_inputs
+    mesh = make_mesh(n_devices=4, dp=1)
+    frames1 = jax.tree.map(lambda x: x[:1], frames)
+    ctxs1 = jax.tree.map(lambda x: x[:1], ctxs)
+    outs = jax.tree.map(
+        np.asarray, run_batch_sharded(frames1, ctxs1, mesh, DEFAULT))
+    np.testing.assert_allclose(outs["pose"][0], single_ref["pose"],
+                               atol=1e-9)
