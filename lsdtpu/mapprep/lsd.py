@@ -1,0 +1,209 @@
+"""Line Segment Detector: jitted sequential region extraction.
+
+TPU-native redesign of the reference LSD (myLineSegmentDetector,
+LSD/myLSD.cpp:129-376).  Structural departures, all semantics-preserving
+at line-set granularity:
+
+* **Seed selection by masked argmax.**  The reference pseudo-sorts all
+  seeds by quantized gradient bin and walks the list, skipping used
+  pixels (myLSD.cpp:176-230).  Here the next seed is the argmax of a
+  static priority key (bin * H*W + reverse-row-major rank, i.e. a
+  *stable* descending order - the reference's unstable qsort makes tie
+  order implementation-defined, SURVEY.md 2.1) over the live mask, in a
+  lax.while_loop carrying usedMap.
+
+* **Wave-synchronous region growth.**  The reference grows FIFO with
+  the running circular-mean angle updated after every accepted pixel
+  and re-sweeps until a fixpoint (RegionGrower, myLSD.cpp:491-590).
+  Here each wave accepts all 8-neighbors passing the angle test at
+  once, then recomputes the running mean over the accepted set (the
+  sums are associative, so this equals the reference at wave
+  granularity), iterating to the same fixpoint.  Pixel sets can differ
+  from the reference only when a mid-wave angle update flips an accept;
+  parity tests compare extracted line sets, not growth order.
+
+* **Masked full-image moments** replace point lists (rect.py), and the
+  NFA rasterizes densely (nfa.py).
+
+The in-place 1<->255 input remap (myLSD.cpp:135-142) is functional
+here: callers get the remapped map back alongside the lines.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lsdtpu import geometry as geo
+from lsdtpu.mapprep.gaussian import gaussian_sampler
+from lsdtpu.mapprep.gradient import gradient_field
+from lsdtpu.mapprep import rect as mrect
+from lsdtpu.mapprep import nfa as mnfa
+
+PI = math.pi
+
+
+def _dilate8(mask):
+    """8-neighbor dilation via 3x3 window OR."""
+    m = mask.astype(jnp.float32)
+    out = jax.lax.reduce_window(m, jnp.float32(0), jax.lax.max, (3, 3),
+                                (1, 1), "SAME")
+    return out > 0.0
+
+
+def _grow(seed_y, seed_x, seed_deg, deg_thre, ban, deg_map):
+    """Wave-synchronous region growth (reference: RegionGrower,
+    myLSD.cpp:491-590).  Only ban==True blocks growth (usedMap==1; NFA-
+    rejected value-2 pixels regrow, myLSD.cpp:534).
+    Returns (cur mask, reg_deg)."""
+    H, W = deg_map.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    cur0 = (yy == seed_y) & (xx == seed_x)
+    state = dict(cur=cur0, sin=jnp.sin(seed_deg), cos=jnp.cos(seed_deg),
+                 deg=jnp.arctan2(jnp.sin(seed_deg), jnp.cos(seed_deg)),
+                 changed=jnp.array(True))
+
+    def body(s):
+        cand = _dilate8(s["cur"]) & ~s["cur"] & ~ban
+        dif = jnp.abs(s["deg"] - deg_map)
+        dif = jnp.where(dif > PI * 1.5, jnp.abs(dif - 2 * PI), dif)
+        acc = cand & (dif < deg_thre)
+        sin = s["sin"] + jnp.sum(jnp.where(acc, jnp.sin(deg_map), 0.0))
+        cos = s["cos"] + jnp.sum(jnp.where(acc, jnp.cos(deg_map), 0.0))
+        return dict(cur=s["cur"] | acc, sin=sin, cos=cos,
+                    deg=jnp.arctan2(sin, cos), changed=jnp.any(acc))
+
+    out = jax.lax.while_loop(lambda s: s["changed"], body, state)
+    return out["cur"], out["deg"]
+
+
+@partial(jax.jit, static_argnames=("sca", "sig", "ang_thre", "den_thre",
+                                   "pse_bin", "max_lines"))
+def line_segment_detector(map_gray: jnp.ndarray, sca: float = 0.3,
+                          sig: float = 0.6, ang_thre: float = 22.5,
+                          den_thre: float = 0.7, pse_bin: int = 1024,
+                          max_lines: int = 256):
+    """map_gray: (row, col) occupancy {0, 1, 255}.  Returns
+    (lines (max_lines, 10), mask (max_lines,), n_lines, remapped_map).
+
+    linesInfo rows are in structLinesInfo order (geometry.py) with
+    endpoints rescaled to the full-resolution map frame
+    (myLSD.cpp:252-258)."""
+    ori_row, ori_col = map_gray.shape
+    dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    # in-place 1<->255 remap skipping row/col 0 (myLSD.cpp:135-142)
+    sub = map_gray[1:, 1:]
+    sub = jnp.where(sub == 1, jnp.asarray(255, map_gray.dtype),
+                    jnp.where(sub == 255, jnp.asarray(0, map_gray.dtype),
+                              sub))
+    remapped = map_gray.at[1:, 1:].set(sub)
+
+    gauss = gaussian_sampler(remapped.astype(dt), sca, sig)
+    new_row, new_col = gauss.shape
+    deg_thre = ang_thre / 180.0 * PI
+    mag, deg_map, prebanned, max_grad = gradient_field(gauss, deg_thre)
+    H, W = mag.shape
+
+    log_nt = 5 * (math.log10(new_row) + math.log10(new_col)) / 2.0
+    reg_thre = -log_nt / math.log10(ang_thre / 180.0)
+    ali_pro = ang_thre / 180.0
+
+    # stable-descending seed priority (quantized bin, row-major ties)
+    zoom = pse_bin / max_grad
+    q = jnp.minimum(jnp.floor(mag * zoom), float(pse_bin))
+    # the max-gradient pixel sits exactly on the top bin boundary
+    # (mag*zoom == pse_bin in exact math); FMA noise can push it to
+    # pse_bin-1 and reorder the whole seed walk - pin it
+    q = jnp.where(mag == max_grad, float(pse_bin), q)
+    is_seed = q >= 1.0
+
+    state = dict(
+        used=jnp.where(prebanned, 1, 0).astype(jnp.int8),
+        seed_done=jnp.zeros((H, W), bool),
+        lines=jnp.zeros((max_lines, 4), dt),
+        n_lines=jnp.zeros((), jnp.int32),
+    )
+
+    def live_mask(s):
+        return is_seed & ~s["seed_done"] & (s["used"] == 0)
+
+    def cond(s):
+        return jnp.any(live_mask(s))
+
+    def body(s):
+        # next seed: highest live bin, row-major-first among ties (the
+        # stable-descending walk; two-stage argmax avoids a composite
+        # integer key that could overflow on large maps)
+        live = live_mask(s)
+        qmax = jnp.max(jnp.where(live, q, -1.0))
+        flat = jnp.argmax((live & (q == qmax)).reshape(-1))
+        sy = (flat // W).astype(jnp.int32)
+        sx = (flat % W).astype(jnp.int32)
+        seed_done = s["seed_done"].at[sy, sx].set(True)
+
+        ban = s["used"] == 1
+        seed_deg = deg_map[sy, sx]
+        cur, reg_deg = _grow(sy, sx, seed_deg, deg_thre, ban, deg_map)
+        size = jnp.sum(cur)
+
+        def process(_):
+            rec = mrect.rectangle_converter(cur, reg_deg, mag, ali_pro,
+                                            deg_thre)
+
+            def grow_fn(cen_deg, new_thre):
+                return _grow(sy, sx, cen_deg, new_thre, ban, deg_map)
+
+            ok, cur2, _rd, rec2 = mrect.refiner(
+                sx.astype(dt), sy.astype(dt), reg_deg, cur, rec, mag,
+                deg_map, ban, den_thre, deg_thre, grow_fn)
+
+            def validated(_):
+                log_nfa, rec3 = mnfa.rectangle_improver(rec2, deg_map,
+                                                        log_nt)
+                accept = log_nfa > 0.0
+                # accepted -> used=1; rejected -> used=2 (regrowable)
+                mark = jnp.where(accept, 1, 2).astype(jnp.int8)
+                used = jnp.where(cur2, mark, s["used"])
+                # rescale to full map frame (myLSD.cpp:252-258)
+                if sca != 1:
+                    ends = jnp.stack([(rec3["x1"] - 1.0) / sca + 1,
+                                      (rec3["y1"] - 1.0) / sca + 1,
+                                      (rec3["x2"] - 1.0) / sca + 1,
+                                      (rec3["y2"] - 1.0) / sca + 1])
+                else:
+                    ends = jnp.stack([rec3["x1"], rec3["y1"],
+                                      rec3["x2"], rec3["y2"]])
+                n = s["n_lines"]
+                slot = jnp.minimum(n, max_lines - 1)
+                lines = jnp.where(
+                    accept, s["lines"].at[slot].set(ends), s["lines"])
+                n = jnp.where(accept, n + 1, n)
+                return used, lines, n
+
+            def refine_failed(_):
+                return s["used"], s["lines"], s["n_lines"]
+
+            return jax.lax.cond(ok, validated, refine_failed, None)
+
+        def too_small(_):
+            return s["used"], s["lines"], s["n_lines"]
+
+        used, lines, n_lines = jax.lax.cond(size >= reg_thre, process,
+                                            too_small, None)
+        return dict(used=used, seed_done=seed_done, lines=lines,
+                    n_lines=n_lines)
+
+    out = jax.lax.while_loop(cond, body, state)
+    n = jnp.minimum(out["n_lines"], max_lines)
+    mask = jnp.arange(max_lines) < n
+    e = out["lines"]
+    infos = geo.lines_info_from_endpoints(e[:, 0], e[:, 1], e[:, 2],
+                                          e[:, 3])
+    infos = jnp.where(mask[:, None], infos, 0.0)
+    return infos, mask, n, remapped

@@ -1,0 +1,43 @@
+"""Map preprocessing entry point: occupancy grid -> (lines, mapCache).
+
+TPU-native equivalent of the per-map offline stage the reference runs
+at startup (main_on_windows.cpp:67-70: createMapCache + LSD).  Both
+stages are jitted; artifacts should be cached by map hash (bench.py,
+runtime docs) since the reference recomputes them every run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from lsdtpu.mapprep.distance import create_map_cache
+from lsdtpu.mapprep.lsd import line_segment_detector
+
+
+@dataclasses.dataclass
+class MapArtifacts:
+    lines_info: np.ndarray   # (n, 10) valid rows only
+    map_cache: np.ndarray    # (H, W) meters
+
+
+def prepare_map(map_value: np.ndarray, resol: float,
+                z_occ_max_dis: float = 1.0, sca: float = 0.3,
+                sig: float = 0.6, ang_thre: float = 22.5,
+                den_thre: float = 0.7, pse_bin: int = 1024,
+                max_lines: int = 256) -> MapArtifacts:
+    """Drop-in replacement for oracle.driver.prepare_map, on device.
+
+    NOTE: mapCache must see the PRE-remap occupancy values (occupied==1),
+    exactly like the reference driver which calls createMapCache before
+    myLineSegmentDetector mutates the map (main_on_windows.cpp:67-70).
+    """
+    grid = jnp.asarray(map_value)
+    cache = create_map_cache(grid, float(resol), float(z_occ_max_dis))
+    lines, mask, n, _remapped = line_segment_detector(
+        grid, sca=sca, sig=sig, ang_thre=ang_thre, den_thre=den_thre,
+        pse_bin=pse_bin, max_lines=max_lines)
+    lines = np.asarray(lines)[np.asarray(mask)]
+    return MapArtifacts(lines_info=lines, map_cache=np.asarray(cache))

@@ -1,0 +1,181 @@
+"""Rectangle fitting over region masks: centroid, inertia orientation,
+endpoint projection, density refinement.
+
+TPU-native form of reference CenterGetter/OrientationGetter/
+RectangleConverter/Refiner/RegionRadiusReducer (LSD/myLSD.cpp:592-880).
+The reference walks malloc'd point lists; here a region is a boolean
+mask over the (downsampled) map and every moment is a masked full-image
+reduction, so each fit is a handful of VPU reductions with no dynamic
+shapes.  Rectangles are dicts of traced scalars.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+PI = math.pi
+
+
+def _coords(shape):
+    yy = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return yy, xx
+
+
+def _wrap_pi(d):
+    """Wrap into (-pi, pi] (reference while-loop semantics,
+    myLSD.cpp:646-655)."""
+    w = jnp.mod(d + PI, 2 * PI)
+    w = jnp.where(w == 0.0, 2 * PI, w)
+    return w - PI
+
+
+def region_size(cur):
+    return jnp.sum(cur)
+
+
+def rectangle_converter(cur, seed_deg, mag, ali_pro, deg_thre: float):
+    """cur: (H, W) bool region mask; seed_deg: running region angle.
+    Returns rect dict (reference: RectangleConverter, myLSD.cpp:669-734)."""
+    dt = mag.dtype
+    yy, xx = _coords(cur.shape)
+    xf = xx.astype(dt)
+    yf = yy.astype(dt)
+    w = jnp.where(cur, mag, 0.0)
+    ws = jnp.sum(w)
+    cen_x = jnp.sum(w * xf) / ws
+    cen_y = jnp.sum(w * yf) / ws
+
+    dxp = xf - cen_x
+    dyp = yf - cen_y
+    ixx = jnp.sum(w * dyp * dyp) / ws
+    iyy = jnp.sum(w * dxp * dxp) / ws
+    ixy = -jnp.sum(w * dxp * dyp) / ws
+    lamb = (ixx + iyy - jnp.sqrt((ixx - iyy) ** 2 + 4 * ixy * ixy)) / 2.0
+    inertia = jnp.where(jnp.abs(ixx) > jnp.abs(iyy),
+                        jnp.arctan2(lamb - ixx, ixy),
+                        jnp.arctan2(ixy, lamb - iyy))
+    reg_dif = jnp.abs(_wrap_pi(inertia - seed_deg))
+    inertia = jnp.where(reg_dif > deg_thre, inertia + PI, inertia)
+
+    dxu = jnp.cos(inertia)
+    dyu = jnp.sin(inertia)
+    lx = dxp * dxu + dyp * dyu
+    wx = -dxp * dyu + dyp * dxu
+    big = jnp.asarray(jnp.inf, dt)
+    lx_m = jnp.where(cur, lx, big)
+    lx_p = jnp.where(cur, lx, -big)
+    wx_m = jnp.where(cur, wx, big)
+    wx_p = jnp.where(cur, wx, -big)
+    len_min = jnp.minimum(0.0, jnp.min(lx_m))
+    len_max = jnp.maximum(0.0, jnp.max(lx_p))
+    wid_min = jnp.minimum(0.0, jnp.min(wx_m))
+    wid_max = jnp.maximum(0.0, jnp.max(wx_p))
+    wid = wid_max - wid_min
+    return {
+        "x1": cen_x + len_min * dxu, "y1": cen_y + len_min * dyu,
+        "x2": cen_x + len_max * dxu, "y2": cen_y + len_max * dyu,
+        "wid": jnp.maximum(wid, 1.0), "c_x": cen_x, "c_y": cen_y,
+        "deg": inertia, "dx": dxu, "dy": dyu,
+        "p": jnp.asarray(ali_pro, dt), "prec": jnp.asarray(deg_thre, dt),
+    }
+
+
+def density(cur, rec):
+    n = jnp.sum(cur).astype(rec["x1"].dtype)
+    length = jnp.sqrt((rec["x1"] - rec["x2"]) ** 2 +
+                      (rec["y1"] - rec["y2"]) ** 2)
+    return n / (length * rec["wid"])
+
+
+def radius_reducer(seed_x, seed_y, seed_deg, cur, rec, mag,
+                   den_thre: float, deg_thre: float):
+    """Shrink radius x0.75 dropping far pixels until dense enough
+    (reference: RegionRadiusReducer, myLSD.cpp:736-802).
+    Returns (ok, cur, rec)."""
+    dt = mag.dtype
+    yy, xx = _coords(cur.shape)
+    d_seed = jnp.sqrt((xx.astype(dt) - seed_x) ** 2 +
+                      (yy.astype(dt) - seed_y) ** 2)
+
+    rad1 = jnp.sqrt((seed_x - rec["x1"]) ** 2 + (seed_y - rec["y1"]) ** 2)
+    rad2 = jnp.sqrt((seed_x - rec["x2"]) ** 2 + (seed_y - rec["y2"]) ** 2)
+    state = dict(cur=cur, rec=rec, rad=jnp.maximum(rad1, rad2),
+                 den=density(cur, rec), alive=jnp.sum(cur) >= 2)
+
+    def cond(s):
+        return s["alive"] & (s["den"] < den_thre)
+
+    def body(s):
+        rad = s["rad"] * 0.75
+        keep = s["cur"] & (d_seed <= rad)
+        n = jnp.sum(keep)
+        alive = n >= 2
+        rec2 = rectangle_converter(keep, seed_deg, mag, rec["p"], deg_thre)
+        rec2 = jax.tree.map(lambda a, b: jnp.where(alive, a, b),
+                            rec2, s["rec"])
+        return dict(cur=keep, rec=rec2, rad=rad,
+                    den=jnp.where(alive, density(keep, rec2), jnp.inf),
+                    alive=alive)
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["alive"], out["cur"], out["rec"]
+
+
+def refiner(seed_x, seed_y, seed_deg, cur, rec, mag, deg_map, ban,
+            den_thre: float, deg_thre: float, grow_fn):
+    """Re-estimate angle tolerance from pixels near the seed and regrow
+    (reference: Refiner, myLSD.cpp:804-880).  grow_fn(deg_thre) ->
+    (cur, reg_deg) regrows from the seed with the given tolerance.
+    Returns (ok, cur, reg_deg, rec)."""
+    dt = mag.dtype
+    den0 = density(cur, rec)
+
+    def no_refine(_):
+        return jnp.array(True), cur, seed_deg, rec
+
+    def do_refine(_):
+        yy, xx = _coords(cur.shape)
+        d_seed = jnp.sqrt((xx.astype(dt) - seed_x) ** 2 +
+                          (yy.astype(dt) - seed_y) ** 2)
+        iy = jnp.clip(seed_y.astype(jnp.int32), 0, cur.shape[0] - 1)
+        ix = jnp.clip(seed_x.astype(jnp.int32), 0, cur.shape[1] - 1)
+        cen_deg = deg_map[iy, ix]
+        near = cur & (d_seed < rec["wid"])
+        dif = _wrap_pi(deg_map - cen_deg)
+        difm = jnp.where(near, dif, 0.0)
+        dif_sum = jnp.sum(difm)
+        squ_sum = jnp.sum(difm * difm)
+        n = jnp.sum(near).astype(dt)
+        mean = dif_sum / n
+        new_thre = 2.0 * jnp.sqrt((squ_sum - 2 * mean * dif_sum) / n +
+                                  mean * mean)
+        cur2, reg_deg2 = grow_fn(cen_deg, new_thre)
+        size2 = jnp.sum(cur2)
+
+        def grown(_):
+            rec2 = rectangle_converter(cur2, reg_deg2, mag, rec["p"],
+                                       deg_thre)
+
+            def dense(_):
+                return jnp.array(True), cur2, reg_deg2, rec2
+
+            def sparse(_):
+                ok, cur3, rec3 = radius_reducer(
+                    seed_x, seed_y, reg_deg2, cur2, rec2, mag, den_thre,
+                    deg_thre)
+                return ok, cur3, reg_deg2, rec3
+
+            return jax.lax.cond(density(cur2, rec2) >= den_thre,
+                                dense, sparse, None)
+
+        def tiny(_):
+            return jnp.array(False), cur2, reg_deg2, rec
+
+        return jax.lax.cond(size2 >= 2, grown, tiny, None)
+
+    return jax.lax.cond(den0 >= den_thre, no_refine, do_refine, None)

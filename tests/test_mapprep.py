@@ -1,0 +1,130 @@
+"""TPU-native mapprep vs the numpy oracle (f64).
+
+Gaussian/gradient must match bit-for-bit; the distance field matches
+everywhere except FIFO-contested cells (fixed direction priority vs
+queue rank - see mapprep/distance.py), and LSD line sets are compared
+as endpoint-matched sets since growth order may differ at wave
+granularity (mapprep/lsd.py docstring)."""
+
+import numpy as np
+import pytest
+
+from lsdtpu.io import loaders
+from lsdtpu.oracle import lsd as olsd
+
+
+@pytest.fixture(scope="module")
+def map1(data_root):
+    mp = loaders.load_map_param(f"{data_root}/data/mapParam_map1.txt")
+    return loaders.load_map_value(f"{data_root}/data/mapValue_map1.txt", mp)
+
+
+def test_gaussian_matches_oracle(map1):
+    """XLA contracts mul+add into FMA, so the blur differs from numpy
+    at ~1e-17 relative; that is the only deviation allowed."""
+    from lsdtpu.mapprep.gaussian import gaussian_sampler
+    want = olsd.gaussian_sampler(map1.astype(np.float64), 0.3, 0.6)
+    got = np.asarray(gaussian_sampler(map1.astype(np.float64), 0.3, 0.6))
+    np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-13)
+
+
+def test_gradient_matches_oracle(map1):
+    """Angles of numerically-zero gradients (FMA noise, pre-banned
+    pixels) are arbitrary in both implementations; compare deg only
+    where the magnitude is meaningful."""
+    import math
+    from lsdtpu.mapprep.gaussian import gaussian_sampler
+    from lsdtpu.mapprep.gradient import gradient_field
+    deg_thre = 22.5 / 180.0 * math.pi
+    g = olsd.gaussian_sampler(map1.astype(np.float64), 0.3, 0.6)
+    mag_o, deg_o, used_o, mg_o = olsd.gradient_field(g, deg_thre)
+    mag, deg, banned, mg = gradient_field(
+        np.asarray(gaussian_sampler(map1.astype(np.float64), 0.3, 0.6)),
+        deg_thre)
+    np.testing.assert_allclose(np.asarray(mag), mag_o, atol=1e-10)
+    # pixels whose level-line sits exactly on the 0 / +-pi atan2 branch
+    # (gx at noise level) flip branches under FMA noise; skip them
+    boundary = (np.abs(deg_o) < 1e-6) | (np.abs(np.abs(deg_o) - np.pi)
+                                         < 1e-6)
+    real = (mag_o > 1e-8) & ~boundary
+    np.testing.assert_allclose(np.asarray(deg)[real], deg_o[real],
+                               atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(banned), used_o == 1)
+    assert abs(float(mg) - mg_o) < 1e-10
+
+
+def test_map_cache_matches_oracle(map1):
+    """Bit-exact: FIFO queue ownership is reproduced via carried dense
+    ranks (mapprep/distance.py)."""
+    from lsdtpu.mapprep.distance import create_map_cache
+    res = 0.05
+    want = olsd.create_map_cache(map1, res, 1.0)
+    got = np.asarray(create_map_cache(map1, res, 1.0))
+    np.testing.assert_array_equal(got, want)
+
+
+def _match_lines(a: np.ndarray, b: np.ndarray, tol: float):
+    """Greedy endpoint matching between two (n, 10) line sets."""
+    used = np.zeros(len(b), bool)
+    n_match = 0
+    for row in a:
+        e1 = row[[4, 5, 6, 7]]
+        best, bi = np.inf, -1
+        for j, other in enumerate(b):
+            if used[j]:
+                continue
+            e2 = other[[4, 5, 6, 7]]
+            e2r = other[[6, 7, 4, 5]]
+            d = min(np.abs(e1 - e2).max(), np.abs(e1 - e2r).max())
+            if d < best:
+                best, bi = d, j
+        if bi >= 0 and best < tol:
+            used[bi] = True
+            n_match += 1
+    return n_match
+
+
+def test_lsd_matches_oracle_line_set(map1):
+    """Same wall set as the oracle, with geometric tolerance: seed tie
+    order is implementation-defined even in the reference (unstable
+    qsort, SURVEY.md 2.1) and quantization-bin boundaries sit within
+    FMA noise of each other near the gradient maximum, so pixel-order
+    effects shift endpoints by a few px; wall identity must agree."""
+    from lsdtpu.mapprep.lsd import line_segment_detector
+    want = olsd.line_segment_detector(map1.copy()).lines_info
+    lines, mask, n, _ = line_segment_detector(map1.copy())
+    got = np.asarray(lines)[np.asarray(mask)]
+    assert len(got) == len(want), (len(got), len(want))
+    m = _match_lines(got, want, tol=25.0)
+    assert m == len(want), f"only {m}/{len(want)} walls matched"
+
+
+def test_prepare_map_full_map_matches_oracle_ate_level(dataset_small):
+    """Full data/ map: wall-set parity and an end-to-end check - the
+    localization loop driven by TPU mapprep artifacts must track every
+    frame and stay within a pixel of the oracle-artifact rollout."""
+    from lsdtpu.config import DEFAULT
+    from lsdtpu.mapprep import prepare_map
+    from lsdtpu.oracle import driver as odrv
+    from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
+    ds = dataset_small
+    want = odrv.prepare_map(ds.map_value, ds.param.resol)
+    got = prepare_map(ds.map_value, ds.param.resol)
+    assert abs(len(got.lines_info) - len(want.lines_info)) <= 2
+    m = _match_lines(got.lines_info, want.lines_info, tol=25.0)
+    assert m >= min(len(want.lines_info), len(got.lines_info)) - 2
+    np.testing.assert_array_equal(got.map_cache, want.map_cache)
+
+    NF = 30
+    frames = stack_frames(ds, dtype=np.float64, max_frames=NF)
+    outs = {}
+    for name, art in (("oracle", want), ("tpu", got)):
+        ctx = make_map_context(art.lines_info, art.map_cache,
+                               ds.param.resol, ds.param.ori_x,
+                               ds.param.ori_y, dtype=np.float64)
+        outs[name] = run_sequence(frames, ctx, DEFAULT)
+    for name in outs:
+        assert np.isfinite(np.asarray(outs[name]["score"])).all(), name
+    d = np.abs(np.asarray(outs["tpu"]["pose"])[:, :2] -
+               np.asarray(outs["oracle"]["pose"])[:, :2])
+    assert d.max() < 1.5, f"pose divergence {d.max()} px"
