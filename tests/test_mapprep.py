@@ -128,3 +128,26 @@ def test_prepare_map_full_map_matches_oracle_ate_level(dataset_small):
     d = np.abs(np.asarray(outs["tpu"]["pose"])[:, :2] -
                np.asarray(outs["oracle"]["pose"])[:, :2])
     assert d.max() < 1.5, f"pose divergence {d.max()} px"
+
+
+def test_tpu_lsd_matches_reference_golden_dump(dataset_small, data_root):
+    """Against the reference C++ binary's own saved LSD output
+    (data/MaplinesInfo.txt) - the strongest available parity oracle.
+    The C++ extraction order is unstable-qsort dependent, so require
+    endpoint-set equivalence: >=85% of golden lines within 1 px and
+    every golden wall recovered within 25 px."""
+    import os
+    from lsdtpu.io import load_lines_info
+    from lsdtpu.mapprep.lsd import line_segment_detector
+    golden = load_lines_info(os.path.join(data_root,
+                                          "data/MaplinesInfo.txt"))
+    lines, mask, n, _ = line_segment_detector(dataset_small.map_value.copy())
+    got = np.asarray(lines)[np.asarray(mask)]
+    assert abs(len(got) - len(golden)) <= 3
+    ge = golden[:, 4:8]
+    oe = got[:, 4:8]
+    d1 = np.abs(ge[:, None, :] - oe[None, :, :]).max(-1)
+    d2 = np.abs(ge[:, None, :] - oe[:, [2, 3, 0, 1]][None, :, :]).max(-1)
+    best = np.minimum(d1, d2).min(1)
+    assert (best < 1.0).sum() >= 0.85 * len(golden)
+    assert (best < 25.0).all()
