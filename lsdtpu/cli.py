@@ -1,0 +1,145 @@
+"""Command-line drivers - the reference's L5 layer.
+
+Subcommands:
+  run          offline dataset rollout (the Windows driver,
+               LSD/main_on_windows.cpp:16-195) with ATE summary
+  prepare-map  build + cache map artifacts (mapCache + LSD lines)
+  bench        the headline throughput benchmark (bench.py)
+  batch        vmap-batched multi-sequence rollout over several datasets
+
+Example:
+  python -m lsdtpu.cli run --data /root/reference/data_20190513/data_f3key/data1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_common(p):
+    p.add_argument("--data", required=True, help="dataset directory")
+    p.add_argument("--mapprep", choices=("tpu", "oracle"), default="tpu")
+    p.add_argument("--f64", action="store_true",
+                   help="float64 parity mode (slow on TPU)")
+    p.add_argument("--frames", type=int, default=None)
+
+
+def cmd_run(args) -> int:
+    import numpy as np
+    from lsdtpu.eval import ate as eval_ate
+    from lsdtpu.io import load_dataset
+    from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
+    from lsdtpu.runtime.artifacts import prepare_map_cached
+
+    dtype = np.float64 if args.f64 else np.float32
+    ds = load_dataset(args.data)
+    t0 = time.perf_counter()
+    lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
+                                      backend=args.mapprep)
+    print(f"map: {len(lines)} lines, cache {cache.shape} "
+          f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
+    ctx = make_map_context(lines, cache, ds.param.resol, ds.param.ori_x,
+                           ds.param.ori_y, dtype=dtype)
+    frames = stack_frames(ds, dtype=dtype, max_frames=args.frames)
+    t0 = time.perf_counter()
+    import jax
+    outs = jax.block_until_ready(run_sequence(frames, ctx))
+    dt = time.perf_counter() - t0
+    F = frames["ranges"].shape[0]
+    poses = np.asarray(outs["pose"])
+    scores = np.asarray(outs["score"])
+    for f in range(F):
+        rec = {"frame": f + 1, "pose": [round(float(v), 3)
+                                        for v in poses[f]],
+               "score": round(float(scores[f]), 4),
+               "n_candidates": int(np.asarray(outs["n_candidates"])[f])}
+        print(json.dumps(rec))
+    tracked = int(np.isfinite(scores).sum())
+    summary = {"frames": F, "tracked": tracked,
+               "wall_s": round(dt, 2),
+               "scans_per_sec": round(F / dt, 1)}
+    if ds.real_pos is not None:
+        a = eval_ate.keyframe_ate(poses, ds.real_pos, ds.recorded_odom,
+                                  ds.param.resol, ds.param.ori_x,
+                                  ds.param.ori_y)
+        summary["ate_rmse_m"] = round(a.rmse, 4)
+        summary["ate_max_m"] = round(a.max, 4)
+    print(json.dumps(summary), file=sys.stderr)
+    return 0
+
+
+def cmd_prepare_map(args) -> int:
+    from lsdtpu.io import load_dataset
+    from lsdtpu.runtime.artifacts import prepare_map_cached
+
+    ds = load_dataset(args.data)
+    t0 = time.perf_counter()
+    lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
+                                      backend=args.mapprep)
+    print(json.dumps({"lines": len(lines),
+                      "cache_shape": list(cache.shape),
+                      "seconds": round(time.perf_counter() - t0, 2)}))
+    return 0
+
+
+def cmd_bench(_args) -> int:
+    import bench
+    bench.main()
+    return 0
+
+
+def cmd_batch(args) -> int:
+    import jax
+    import numpy as np
+    from lsdtpu.io import load_dataset
+    from lsdtpu.runtime.artifacts import prepare_map_cached
+    from lsdtpu.runtime.batch import run_batch, stack_batch
+
+    dss = [load_dataset(p) for p in args.data]
+    arts = [prepare_map_cached(d.map_value, d.param.resol,
+                               backend=args.mapprep) for d in dss]
+    frames, ctxs, lens = stack_batch(dss, arts)
+    t0 = time.perf_counter()
+    outs = jax.block_until_ready(run_batch(frames, ctxs))
+    dt = time.perf_counter() - t0
+    total = int(lens.sum())
+    for b, (ds, n) in enumerate(zip(dss, lens)):
+        sc = np.asarray(outs["score"][b][:n])
+        print(json.dumps({
+            "seq": args.data[b], "frames": int(n),
+            "tracked": int(np.isfinite(sc).sum())}))
+    print(json.dumps({"total_scans": total, "wall_s": round(dt, 2),
+                      "scans_per_sec": round(total / dt, 1)}),
+          file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="lsdtpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="offline dataset rollout")
+    _add_common(p)
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("prepare-map", help="build + cache map artifacts")
+    _add_common(p)
+    p.set_defaults(fn=cmd_prepare_map)
+
+    p = sub.add_parser("bench", help="headline throughput benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("batch", help="batched multi-sequence rollout")
+    p.add_argument("--data", nargs="+", required=True)
+    p.add_argument("--mapprep", choices=("tpu", "oracle"), default="tpu")
+    p.set_defaults(fn=cmd_batch)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,50 @@
+"""Checkpoint / resume of the tracking session.
+
+The reference keeps all state in per-run RAM; a crash loses the filter
+chain and relocalization restarts globally (SURVEY.md section 5.3-5.4).
+Here the full per-sequence carry (TrackState: kalman_x, kalman_P,
+lastPose, angRotate accumulators, frame counter) serializes to a
+single npz, so a long-running localization service can resume
+mid-trajectory after preemption - the standard TPU-pod failure model.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import jax
+import numpy as np
+
+from lsdtpu.runtime.loop import TrackState
+
+_FIELDS = ("kalman_x", "kalman_P", "last_pose", "ang_sum", "ang_cnt",
+           "is_offset", "frame")
+
+
+def save_state(path: str, state: TrackState) -> None:
+    """Atomic write (tmp + rename) of the tracking carry."""
+    arrs = {f: np.asarray(getattr(state, f)) for f in _FIELDS}
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(fh, **arrs)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_state(path: str, dtype=None) -> TrackState:
+    z = np.load(path)
+    import jax.numpy as jnp
+    kw = {}
+    for f in _FIELDS:
+        a = z[f]
+        if dtype is not None and a.dtype.kind == "f":
+            a = a.astype(dtype)
+        kw[f] = jnp.asarray(a)
+    return TrackState(**kw)

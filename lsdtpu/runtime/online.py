@@ -1,0 +1,151 @@
+"""Online (streaming) localization - the ROS node equivalent.
+
+The reference's online entry is a ROS node: mapCallback builds the map
+artifacts and sets an isMapReady guard, laserCallback runs
+FeatureScan + FeatureAssociation per incoming scan (reference:
+LSD/main_on_linux.cpp:33-176).  Here the same lifecycle is a plain
+object wrapping the jitted per-frame step with persistent filter state;
+scans stream in one at a time and each push returns the pose estimate.
+
+Two matcher generations are supported, mirroring the two reference
+drivers:
+  * "tracking" (default): the current-generation dense matcher with
+    HMM gating, weighted fusion, and the odometry-fused UKF
+    (LSD/myFA.cpp) - the Windows V2.6 pipeline;
+  * "legacy": the ROS V2.2 global first-minimum matcher over raw polar
+    reprojection, stateless (ROS/lsd/src/FeatureAssociation.cpp).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsdtpu.config import EngineConfig, DEFAULT
+from lsdtpu.match import legacy as mlegacy
+from lsdtpu.runtime.loop import (MapContext, TrackState, init_state,
+                                 localization_step, make_map_context)
+from lsdtpu.scan.featurize import featurize
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _step(state, frame_inputs, ctx, cfg):
+    return localization_step(state, frame_inputs, ctx, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg", "z_occ_max_dis"))
+def _legacy_step(ranges, angles, valid, n, ctx, cfg,
+                 z_occ_max_dis: float = 2.0):
+    fs = featurize(ranges, angles, valid, n, ctx.resol, ctx.ori_x,
+                   ctx.ori_y,
+                   least_point=cfg.rdp.least_point,
+                   thre_line=cfg.rdp.thre_line,
+                   least_dist=cfg.rdp.least_dist,
+                   max_lines=cfg.shapes.max_scan_lines,
+                   max_pixels=cfg.shapes.max_scan_pixels)
+    cand = mlegacy.generate_candidates_legacy(
+        fs.lines, fs.lines_mask, ctx.lines, ctx.lines_mask,
+        fs.lidar_pos, ctx.resol,
+        max_candidates=cfg.shapes.max_candidates)
+    scores = mlegacy.score_candidates_legacy(
+        cand, ranges, angles, valid, n, ctx.cache, ctx.resol,
+        rows=ctx.rows, cols=ctx.cols, z_occ_max_dis=z_occ_max_dis)
+    pose, best = mlegacy.first_min_pose(cand, scores)
+    world = mlegacy.pixel_to_world(pose, ctx.resol, ctx.ori_x, ctx.ori_y)
+    return {"pose": pose, "pose_world": world, "score": best,
+            "n_candidates": jnp.sum(jnp.isfinite(scores))}
+
+
+class OnlineLocalizer:
+    """Streaming localization session.
+
+    >>> loc = OnlineLocalizer()
+    >>> loc.set_map(map_value, resol, ori_x, ori_y)   # mapCallback
+    >>> out = loc.push_scan(ranges, angles, odom_xyang)  # laserCallback
+    """
+
+    def __init__(self, cfg: EngineConfig = DEFAULT, mode: str = "tracking",
+                 dtype=np.float32, use_tpu_mapprep: bool = True):
+        if mode not in ("tracking", "legacy"):
+            raise ValueError(f"unknown mode {mode!r}")
+        self.cfg = cfg
+        self.mode = mode
+        self.dtype = dtype
+        self.use_tpu_mapprep = use_tpu_mapprep
+        self.ctx: Optional[MapContext] = None
+        self.state: Optional[TrackState] = None
+        self._prev_odom: Optional[np.ndarray] = None
+
+    @property
+    def is_map_ready(self) -> bool:
+        """The reference's isMapReady guard (main_on_linux.cpp:31,50)."""
+        return self.ctx is not None
+
+    def set_map(self, map_value: np.ndarray, resol: float, ori_x: float,
+                ori_y: float) -> int:
+        """Build map artifacts (mapCache + LSD lines).  Returns #lines."""
+        z = 2.0 if self.mode == "legacy" else self.cfg.map.z_occ_max_dis
+        if self.use_tpu_mapprep:
+            from lsdtpu.mapprep import prepare_map
+            art = prepare_map(map_value, resol, z_occ_max_dis=z)
+        else:
+            from lsdtpu.oracle import driver as odrv
+            art = odrv.prepare_map(map_value, resol, z_occ_max_dis=z)
+        self.set_map_artifacts(art.lines_info, art.map_cache, resol,
+                               ori_x, ori_y)
+        return len(art.lines_info)
+
+    def set_map_artifacts(self, lines_info: np.ndarray,
+                          map_cache: np.ndarray, resol: float,
+                          ori_x: float, ori_y: float) -> None:
+        self.ctx = make_map_context(
+            lines_info, map_cache, resol, ori_x, ori_y,
+            max_map_lines=self.cfg.shapes.max_map_lines, dtype=self.dtype)
+        self.reset()
+
+    def reset(self) -> None:
+        """Tracking-loss style reset of the filter chain."""
+        self.state = init_state(jnp.dtype(self.dtype))
+        self._prev_odom = None
+
+    def push_scan(self, ranges: np.ndarray, angles: np.ndarray,
+                  odom: Optional[np.ndarray] = None) -> dict:
+        """Process one scan; returns per-frame outputs (pose in map px).
+
+        ranges/angles: (n,) valid polar points; odom: (3,) [x, y, ang]
+        cumulative odometry (tracking mode only; first frame may omit)."""
+        if not self.is_map_ready:
+            raise RuntimeError("map not set (isMapReady guard)")
+        N = self.cfg.shapes.points_per_scan
+        n = min(len(ranges), N)
+        r = np.zeros(N, self.dtype)
+        a = np.zeros(N, self.dtype)
+        v = np.zeros(N, bool)
+        r[:n] = ranges[:n]
+        a[:n] = angles[:n]
+        v[:n] = True
+
+        if self.mode == "legacy":
+            out = _legacy_step(jnp.asarray(r), jnp.asarray(a),
+                               jnp.asarray(v), jnp.asarray(n, jnp.int32),
+                               self.ctx, self.cfg)
+            return {k: np.asarray(val) for k, val in out.items()}
+
+        odom = np.zeros(3, self.dtype) if odom is None else \
+            np.asarray(odom, self.dtype)
+        prev = self._prev_odom if self._prev_odom is not None else odom
+        inputs = (jnp.asarray(r), jnp.asarray(a), jnp.asarray(v),
+                  jnp.asarray(n, jnp.int32), jnp.asarray(prev),
+                  jnp.asarray(odom))
+        self.state, out = _step(self.state, inputs, self.ctx, self.cfg)
+        self._prev_odom = odom
+        res = {k: np.asarray(val) for k, val in out.items()}
+        res["pose_world"] = np.array([
+            res["pose"][0] * float(self.ctx.resol) + float(self.ctx.ori_x),
+            res["pose"][1] * float(self.ctx.resol) + float(self.ctx.ori_y),
+            res["pose"][2]])
+        return res

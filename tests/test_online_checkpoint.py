@@ -1,0 +1,92 @@
+"""Online streaming localizer + checkpoint/resume."""
+
+import numpy as np
+import pytest
+
+from lsdtpu.oracle import driver as odrv
+from lsdtpu.runtime.checkpoint import load_state, save_state
+from lsdtpu.runtime.online import OnlineLocalizer
+
+
+@pytest.fixture(scope="module")
+def map_art(dataset_small):
+    ds = dataset_small
+    return odrv.prepare_map(ds.map_value, ds.param.resol)
+
+
+def test_online_matches_offline_rollout(dataset_small, map_art):
+    from lsdtpu.config import DEFAULT
+    from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
+    ds = dataset_small
+    NF = 10
+    loc = OnlineLocalizer(dtype=np.float64)
+    assert not loc.is_map_ready
+    with pytest.raises(RuntimeError):
+        loc.push_scan(np.ones(4), np.zeros(4))
+    loc.set_map_artifacts(map_art.lines_info, map_art.map_cache,
+                          ds.param.resol, ds.param.ori_x, ds.param.ori_y)
+    poses = []
+    for f in range(NF):
+        fr = ds.frames[f]
+        out = loc.push_scan(fr[:, 0], fr[:, 1], ds.odom[f + 1])
+        poses.append(out["pose"])
+
+    ctx = make_map_context(map_art.lines_info, map_art.map_cache,
+                           ds.param.resol, ds.param.ori_x, ds.param.ori_y,
+                           dtype=np.float64)
+    frames = stack_frames(ds, dtype=np.float64, max_frames=NF)
+    outs = run_sequence(frames, ctx, DEFAULT)
+    np.testing.assert_allclose(np.stack(poses), np.asarray(outs["pose"]),
+                               atol=1e-9)
+
+
+def test_online_legacy_mode(dataset_small):
+    from lsdtpu.oracle import lsd as olsd
+    from lsdtpu.oracle import rdp as ordp
+    from lsdtpu.oracle import legacy_fa as olegacy
+    ds = dataset_small
+    cache = olsd.create_map_cache(ds.map_value, ds.param.resol, 2.0)
+    lines = olsd.line_segment_detector(ds.map_value.copy()).lines_info
+    loc = OnlineLocalizer(mode="legacy", dtype=np.float64)
+    loc.set_map_artifacts(lines, cache, ds.param.resol, ds.param.ori_x,
+                          ds.param.ori_y)
+    fr = ds.frames[0]
+    out = loc.push_scan(fr[:, 0], fr[:, 1])
+
+    fs = ordp.feature_scan(fr[:, 0].astype(np.float64),
+                           fr[:, 1].astype(np.float64), ds.param.resol,
+                           ds.param.ori_x, ds.param.ori_y)
+    pose_o, _ = olegacy.feature_association_legacy(
+        fs.lines_info, lines, np.array(fs.lidar_pos, np.float64), cache,
+        fr[:, 0].astype(np.float64), fr[:, 1].astype(np.float64),
+        ds.param.resol)
+    np.testing.assert_allclose(out["pose"], pose_o, atol=1e-9)
+
+
+def test_checkpoint_resume_mid_sequence(dataset_small, map_art, tmp_path):
+    ds = dataset_small
+    NF, CUT = 12, 5
+    ref = OnlineLocalizer(dtype=np.float64)
+    ref.set_map_artifacts(map_art.lines_info, map_art.map_cache,
+                          ds.param.resol, ds.param.ori_x, ds.param.ori_y)
+    ref_poses = [ref.push_scan(ds.frames[f][:, 0], ds.frames[f][:, 1],
+                               ds.odom[f + 1])["pose"] for f in range(NF)]
+
+    a = OnlineLocalizer(dtype=np.float64)
+    a.set_map_artifacts(map_art.lines_info, map_art.map_cache,
+                        ds.param.resol, ds.param.ori_x, ds.param.ori_y)
+    for f in range(CUT):
+        a.push_scan(ds.frames[f][:, 0], ds.frames[f][:, 1],
+                    ds.odom[f + 1])
+    ck = str(tmp_path / "state.npz")
+    save_state(ck, a.state)
+
+    b = OnlineLocalizer(dtype=np.float64)
+    b.set_map_artifacts(map_art.lines_info, map_art.map_cache,
+                        ds.param.resol, ds.param.ori_x, ds.param.ori_y)
+    b.state = load_state(ck)
+    b._prev_odom = ds.odom[CUT].astype(np.float64)
+    got = [b.push_scan(ds.frames[f][:, 0], ds.frames[f][:, 1],
+                       ds.odom[f + 1])["pose"] for f in range(CUT, NF)]
+    np.testing.assert_allclose(np.stack(got), np.stack(ref_poses[CUT:]),
+                               atol=1e-9)
