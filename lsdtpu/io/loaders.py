@@ -54,6 +54,18 @@ def load_map_value(path: str, param: MapParam) -> np.ndarray:
     return flat[:n].astype(np.uint8).reshape(param.row, param.col)
 
 
+def _load_floats(path: str, cols: int) -> np.ndarray:
+    """(N, cols) float64 via the native parser, numpy fallback."""
+    try:
+        from lsdtpu.io.native import load_doubles_native
+        flat = load_doubles_native(path)
+        if flat is not None and flat.size % cols == 0:
+            return flat.reshape(-1, cols)
+    except Exception:
+        pass
+    return np.loadtxt(path, dtype=np.float64, ndmin=2)
+
+
 def load_odom(path: str, duplicate_last: bool = True) -> np.ndarray:
     """Load odometry rows (N, 3) float64.
 
@@ -62,7 +74,7 @@ def load_odom(path: str, duplicate_last: bool = True) -> np.ndarray:
     ``duplicate_last`` we reproduce that by repeating the last row, and
     the `Odom[0].x = 0` override (main_on_windows.cpp:61).
     """
-    rows = np.loadtxt(path, dtype=np.float64, ndmin=2)
+    rows = _load_floats(path, 3)
     if duplicate_last and rows.shape[0] > 0:
         rows = np.concatenate([rows, rows[-1:]], axis=0)
     if rows.shape[0] > 0:
@@ -78,7 +90,7 @@ def load_lidar_frames(path: str, points_per_loop: int = 360
     Mirrors LSD/main_on_windows.cpp:110-124: each frame consumes exactly
     ``points_per_loop`` file rows; rows whose range is inf are discarded.
     """
-    raw = np.loadtxt(path, dtype=np.float64, ndmin=2)
+    raw = _load_floats(path, 2)
     frames = []
     n_full = raw.shape[0] // points_per_loop
     for f in range(n_full):
@@ -90,7 +102,7 @@ def load_lidar_frames(path: str, points_per_loop: int = 360
 
 def load_real_pos(path: str) -> np.ndarray:
     """Ground-truth keyframes (N, 2) in meters."""
-    return np.loadtxt(path, dtype=np.float64, ndmin=2)
+    return _load_floats(path, 2)
 
 
 def load_recorded_odom(path: str) -> np.ndarray:
@@ -138,7 +150,7 @@ def load_lines_info(path: str) -> np.ndarray:
     """Golden linesInfo dump: rows of [k b dx dy x1 y1 x2 y2 len orient]
     matching structLinesInfo field order (reference: LSD/baseFunc.h:33-44).
     """
-    return np.loadtxt(path, dtype=np.float64, ndmin=2)
+    return _load_floats(path, 10)
 
 
 def _read_tokens(path: str):
