@@ -44,6 +44,9 @@ class MatchConfig:
     score_accept: float = 3.0         # candidate acceptance score (myFA.cpp:261)
     valid_ratio: float = 0.7          # CalcScore validity gate (myFA.cpp:389)
     max_dist_penalty: float = 10.0    # per-pixel cap penalty (myFA.cpp:381)
+    # scoring backend: "xla" (fused transform+gather, default) or
+    # "pallas" (ops/score_pallas.py - cache resident in VMEM)
+    score_kernel: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

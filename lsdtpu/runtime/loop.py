@@ -134,12 +134,22 @@ def localization_step(state: TrackState, frame_inputs, ctx: MapContext,
         ignore_scan_length=cfg.match.ignore_scan_length,
         scan_to_map_diff=cfg.match.scan_to_map_diff,
         max_esti_dist=cfg.match.max_esti_dist)
-    scores = assoc.score_candidates(
-        cand, fs.pixels, fs.pixels_mask, ctx.cache,
-        rows=ctx.rows, cols=ctx.cols,
-        z_occ_max_dis=cfg.map.z_occ_max_dis,
-        max_dist_penalty=cfg.match.max_dist_penalty,
-        valid_ratio=cfg.match.valid_ratio)
+    if cfg.match.score_kernel == "pallas":
+        from lsdtpu.ops.score_pallas import score_candidates_pallas
+        scores = score_candidates_pallas(
+            cand, fs.pixels, fs.pixels_mask, ctx.cache,
+            rows=ctx.rows, cols=ctx.cols,
+            z_occ_max_dis=cfg.map.z_occ_max_dis,
+            max_dist_penalty=cfg.match.max_dist_penalty,
+            valid_ratio=cfg.match.valid_ratio,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        scores = assoc.score_candidates(
+            cand, fs.pixels, fs.pixels_mask, ctx.cache,
+            rows=ctx.rows, cols=ctx.cols,
+            z_occ_max_dis=cfg.map.z_occ_max_dis,
+            max_dist_penalty=cfg.match.max_dist_penalty,
+            valid_ratio=cfg.match.valid_ratio)
     pose_w, fused_score, pose_min, min_score, n_acc = assoc.fuse(
         cand, scores, cfg.match.score_accept, axis_name=tp_axis)
 
