@@ -194,6 +194,63 @@ def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
     return jnp.where(cand.mask, scores, jnp.inf)
 
 
+def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
+                             cache_block, row0, rows, cols,
+                             z_occ_max_dis: float = 1.0,
+                             max_dist_penalty: float = 10.0,
+                             chunk: int = 256):
+    """Map-block-sharded partial scoring: this device owns cache rows
+    [row0, row0 + block_h) of the global field.  Returns per-candidate
+    (sum_d, n_valid) partial sums - plain additive reductions over the
+    pixel axis, so a psum over the map axis reproduces
+    score_candidates exactly (the TPU-native form of sharding the
+    mapCache prior across hosts, SURVEY.md 5.7c/5.8)."""
+    block_h, pad_cols = cache_block.shape
+    dt = cand.ca.dtype
+    px = pixels[:, 0].astype(dt)
+    py = pixels[:, 1].astype(dt)
+    cache_flat = cache_block.reshape(-1)
+
+    K = cand.ca.shape[0]
+    n_chunks = max(1, K // chunk)
+
+    def part_chunk(args):
+        ca, sa, sx, sy, mx, my = args
+        tx = (px[None, :] - sx[:, None]) * ca[:, None] - \
+            (py[None, :] - sy[:, None]) * sa[:, None] + mx[:, None]
+        ty = (px[None, :] - sx[:, None]) * sa[:, None] + \
+            (py[None, :] - sy[:, None]) * ca[:, None] + my[:, None]
+        ix = geo.c_round(tx).astype(jnp.int32)
+        iy = geo.c_round(ty).astype(jnp.int32)
+        inside = (ix >= 0) & (ix < cols) & (iy >= 0) & (iy < rows) & \
+            (iy >= row0) & (iy < row0 + block_h) & pixels_mask[None, :]
+        loc = jnp.clip(iy - row0, 0, block_h - 1) * pad_cols + \
+            jnp.clip(ix, 0, pad_cols - 1)
+        vals = jnp.take(cache_flat, loc.reshape(-1)).reshape(loc.shape)
+        at_cap = vals >= z_occ_max_dis
+        contrib = jnp.where(at_cap, max_dist_penalty, vals)
+        sum_d = jnp.sum(jnp.where(inside, contrib, 0.0), axis=1)
+        n_valid = jnp.sum(inside, axis=1).astype(dt)
+        return sum_d, n_valid
+
+    args = (cand.ca, cand.sa, cand.sx, cand.sy, cand.mx, cand.my)
+    if n_chunks > 1:
+        args = jax.tree.map(lambda a: a.reshape(n_chunks, -1), args)
+        sum_d, n_valid = jax.lax.map(part_chunk, args)
+        return sum_d.reshape(-1), n_valid.reshape(-1)
+    return part_chunk(args)
+
+
+def finalize_scores(cand: Candidates, sum_d, n_valid, n_all,
+                    max_dist_penalty: float = 10.0,
+                    valid_ratio: float = 0.7):
+    """Apply the CalcScore formula + gates to (psum-reduced) partials."""
+    score = sum_d / n_valid + \
+        max_dist_penalty * (n_all - n_valid) / n_all
+    score = jnp.where(n_valid < valid_ratio * n_all, jnp.inf, score)
+    return jnp.where(cand.mask, score, jnp.inf)
+
+
 def fuse(cand: Candidates, scores, score_accept: float = 3.0,
          axis_name: str | None = None
          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -93,7 +93,8 @@ def init_state(dtype=jnp.float32) -> TrackState:
 
 def localization_step(state: TrackState, frame_inputs, ctx: MapContext,
                       cfg: EngineConfig = DEFAULT,
-                      tp_axis: Optional[str] = None
+                      tp_axis: Optional[str] = None,
+                      mp_axis: Optional[str] = None
                       ) -> Tuple[TrackState, dict]:
     """One frame: featurize + associate + fuse + UKF + driver state update.
 
@@ -134,7 +135,23 @@ def localization_step(state: TrackState, frame_inputs, ctx: MapContext,
         ignore_scan_length=cfg.match.ignore_scan_length,
         scan_to_map_diff=cfg.match.scan_to_map_diff,
         max_esti_dist=cfg.match.max_esti_dist)
-    if cfg.match.score_kernel == "pallas":
+    if mp_axis is not None:
+        # map-block sharding: this device owns a row block of the cache;
+        # psum of the additive partials reproduces the full-field score
+        row0 = jax.lax.axis_index(mp_axis) * ctx.cache.shape[0]
+        sum_d, n_valid = assoc.score_candidates_partial(
+            cand, fs.pixels, fs.pixels_mask, ctx.cache, row0,
+            ctx.rows, ctx.cols,
+            z_occ_max_dis=cfg.map.z_occ_max_dis,
+            max_dist_penalty=cfg.match.max_dist_penalty)
+        sum_d = jax.lax.psum(sum_d, mp_axis)
+        n_valid = jax.lax.psum(n_valid, mp_axis)
+        n_all = jnp.sum(fs.pixels_mask).astype(dt)
+        scores = assoc.finalize_scores(
+            cand, sum_d, n_valid, n_all,
+            max_dist_penalty=cfg.match.max_dist_penalty,
+            valid_ratio=cfg.match.valid_ratio)
+    elif cfg.match.score_kernel == "pallas":
         from lsdtpu.ops.score_pallas import score_candidates_pallas
         scores = score_candidates_pallas(
             cand, fs.pixels, fs.pixels_mask, ctx.cache,

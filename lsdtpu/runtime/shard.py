@@ -115,3 +115,57 @@ def run_batch_sharded(frames, ctxs: MapContext, mesh: Mesh,
                    out_specs=_out_spec(), check_vma=False)
     with mesh:
         return jax.jit(fn)(frames, ctxs)
+
+
+MP_AXIS = "mp"
+
+
+def make_mesh_mp(n_devices: Optional[int] = None, dp: Optional[int] = None
+                 ) -> Mesh:
+    """(dp, mp) mesh for map-block sharding (same split heuristic)."""
+    m = make_mesh(n_devices, dp)
+    return Mesh(m.devices, (DP_AXIS, MP_AXIS))
+
+
+def run_batch_sharded_mapblocks(frames, ctxs: MapContext, mesh: Mesh,
+                                cfg: EngineConfig = DEFAULT):
+    """Sharded rollout with the mapCache prior row-sharded over `mp`.
+
+    The TPU-native form of partitioning a giant map across devices
+    (SURVEY.md 5.7c/5.8): each device owns a horizontal block of the
+    distance field, scores the pixels that land in its block, and a
+    psum of the additive (sum_d, n_valid) partials reproduces the
+    replicated-field scores exactly.  Map lines and scans are
+    replicated over mp (they are KBs; the field is the heavy part).
+    """
+    n_mp = mesh.shape[MP_AXIS]
+    H = ctxs.cache.shape[1]
+    pad = (-H) % n_mp
+    if pad:
+        ctxs = dataclasses.replace(
+            ctxs, cache=jnp.pad(ctxs.cache, ((0, 0), (0, pad), (0, 0))))
+
+    def device_fn(fr, cx):
+        def one_seq(fr1, cx1):
+            state = init_state(fr1["ranges"].dtype)
+
+            def step(carry, f):
+                inputs = (f["ranges"], f["angles"], f["valid"], f["n"],
+                          f["odom_prev"], f["odom_cur"])
+                return localization_step(carry, inputs, cx1, cfg,
+                                         mp_axis=MP_AXIS)
+
+            _s, outs = jax.lax.scan(step, state, fr1)
+            return outs
+
+        return jax.vmap(one_seq)(fr, cx)
+
+    ctx_spec = MapContext(
+        lines=P(DP_AXIS), lines_mask=P(DP_AXIS),
+        cache=P(DP_AXIS, MP_AXIS), rows=P(DP_AXIS), cols=P(DP_AXIS),
+        resol=P(DP_AXIS), ori_x=P(DP_AXIS), ori_y=P(DP_AXIS))
+    fn = shard_map(device_fn, mesh=mesh,
+                   in_specs=(_frames_spec(), ctx_spec),
+                   out_specs=_out_spec(), check_vma=False)
+    with mesh:
+        return jax.jit(fn)(frames, ctxs)

@@ -76,3 +76,17 @@ def test_pure_tp_mesh_matches_single(batch_inputs, single_ref):
         np.asarray, run_batch_sharded(frames1, ctxs1, mesh, DEFAULT))
     np.testing.assert_allclose(outs["pose"][0], single_ref["pose"],
                                atol=1e-9)
+
+
+def test_mapblock_sharded_matches_single(batch_inputs, single_ref):
+    """Cache row-sharded over mp: psum partials == replicated scores."""
+    from lsdtpu.runtime.shard import make_mesh_mp, run_batch_sharded_mapblocks
+    frames, ctxs, lens = batch_inputs
+    mesh = make_mesh_mp()  # (dp=2, mp=4)
+    outs = jax.tree.map(
+        np.asarray, run_batch_sharded_mapblocks(frames, ctxs, mesh, DEFAULT))
+    for b in range(2):
+        np.testing.assert_allclose(outs["pose"][b], single_ref["pose"],
+                                   atol=1e-9)
+        np.testing.assert_array_equal(outs["n_candidates"][b],
+                                      single_ref["n_candidates"])
