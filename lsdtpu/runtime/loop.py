@@ -202,6 +202,11 @@ def localization_step(state: TrackState, frame_inputs, ctx: MapContext,
         "n_candidates": n_acc,
         "n_scan_lines": jnp.sum(fs.lines_mask),
         "candidate_overflow": cand.count > cand.mask.shape[0],
+        # raw per-frame quantities for batch refinement (refine/):
+        # the FA measurement (weighted-mean pose) and the rotated
+        # odometry delta fed to the filter
+        "measurement": jnp.where(lost, jnp.nan, pose_w),
+        "scan_pose": scan_pose,
     }
     return new_state, outputs
 

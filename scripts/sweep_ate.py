@@ -1,0 +1,85 @@
+"""Accuracy sweep: every bundled ground-truth sequence.
+
+Runs the full localization loop on each dataset (f32 production mode)
+and reports keyframe ATE vs realPos.txt.  Usage:
+    python scripts/sweep_ate.py [--mapprep oracle|tpu] [--out results.json]
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mapprep", default="oracle",
+                    choices=("oracle", "tpu"))
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--roots", nargs="*", default=[
+        "/root/reference/data_20190513/data_f3key/data*",
+        "/root/reference/data_20190514/data_f4key/data*",
+    ])
+    args = ap.parse_args()
+
+    import jax
+    from lsdtpu.eval import ate as eval_ate
+    from lsdtpu.io import load_dataset
+    from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
+    from lsdtpu.runtime.artifacts import prepare_map_cached
+
+    paths = sorted(p for pat in args.roots for p in glob.glob(pat))
+    results = []
+    for p in paths:
+        t0 = time.perf_counter()
+        try:
+            ds = load_dataset(p)
+            lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
+                                              backend=args.mapprep)
+            ctx = make_map_context(lines, cache, ds.param.resol,
+                                   ds.param.ori_x, ds.param.ori_y,
+                                   dtype=np.float32)
+            frames = stack_frames(ds, dtype=np.float32)
+            outs = jax.block_until_ready(run_sequence(frames, ctx))
+            F = frames["ranges"].shape[0]
+            scores = np.asarray(outs["score"])
+            poses = np.asarray(outs["pose"])
+            rec = {"seq": p.split("reference/")[-1], "frames": F,
+                   "tracked": int(np.isfinite(scores).sum()),
+                   "map_lines": int(len(lines)),
+                   "wall_s": round(time.perf_counter() - t0, 1)}
+            if ds.real_pos is not None:
+                a = eval_ate.keyframe_ate(
+                    poses, ds.real_pos, ds.recorded_odom, ds.param.resol,
+                    ds.param.ori_x, ds.param.ori_y)
+                rec.update(ate_rmse_m=round(a.rmse, 4),
+                           ate_mean_m=round(a.mean, 4),
+                           ate_max_m=round(a.max, 4), keyframes=a.n)
+        except Exception as e:
+            rec = {"seq": p, "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+
+    ates = [r["ate_rmse_m"] for r in results if "ate_rmse_m" in r]
+    summary = {"sequences": len(results),
+               "with_gt": len(ates),
+               "ate_rmse_mean": round(float(np.mean(ates)), 4) if ates
+               else None,
+               "ate_rmse_median": round(float(np.median(ates)), 4)
+               if ates else None,
+               "ate_rmse_worst": round(float(np.max(ates)), 4) if ates
+               else None}
+    print(json.dumps({"summary": summary}), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"results": results, "summary": summary}, f,
+                      indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

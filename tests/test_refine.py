@@ -1,0 +1,75 @@
+"""Batch pose-graph refinement: solver correctness on synthetic chains
+and end-to-end smoke on a real rollout."""
+
+import numpy as np
+import pytest
+
+from lsdtpu.refine import refine_trajectory
+
+
+def _synthetic(F=120, noise=2.0, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(F)
+    truth = np.stack([10 + 2.0 * t, 5 + 1.5 * t, 0.1 * t], axis=1)
+    u = np.diff(truth, axis=0, prepend=truth[:1])
+    u[0] = 0
+    meas = truth + rng.normal(0, noise, (F, 3))
+    scores = np.full(F, 0.5)
+    return truth, meas, scores, u
+
+
+def test_refine_reduces_measurement_noise():
+    truth, meas, scores, u = _synthetic()
+    refined, info = refine_trajectory(meas, scores, u)
+    refined = np.asarray(refined)
+    err_meas = np.abs(meas[:, :2] - truth[:, :2]).mean()
+    err_ref = np.abs(refined[:, :2] - truth[:, :2]).mean()
+    assert err_ref < 0.6 * err_meas, (err_ref, err_meas)
+    assert int(info["n_measured"]) == len(truth)
+
+
+def test_refine_bridges_lost_frames():
+    """Frames with no measurement (inf score) are held by odometry."""
+    truth, meas, scores, u = _synthetic(noise=0.5)
+    scores[40:60] = np.inf
+    meas[40:60] = np.nan
+    refined, info = refine_trajectory(meas, scores, u)
+    refined = np.asarray(refined)
+    assert np.isfinite(refined).all()
+    err = np.abs(refined[40:60, :2] - truth[40:60, :2]).max()
+    assert err < 2.0, err
+    assert int(info["n_measured"]) == len(truth) - 20
+
+
+def test_refine_exactness_single_measurement():
+    """With one exact measurement and exact odometry the chain is
+    reconstructed exactly (the solver solves the normal system, not an
+    approximation)."""
+    truth, meas, scores, u = _synthetic(noise=0.0)
+    scores[:] = np.inf
+    meas[:] = np.nan
+    scores[0] = 0.1
+    meas[0] = truth[0]
+    refined, _ = refine_trajectory(meas, scores, u)
+    np.testing.assert_allclose(np.asarray(refined)[:, :2], truth[:, :2],
+                               atol=1e-5)
+
+
+def test_refine_on_real_rollout(dataset_small):
+    import jax
+    from lsdtpu.oracle import driver as odrv
+    from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
+    ds = dataset_small
+    art = odrv.prepare_map(ds.map_value, ds.param.resol)
+    ctx = make_map_context(art.lines_info, art.map_cache, ds.param.resol,
+                           ds.param.ori_x, ds.param.ori_y,
+                           dtype=np.float64)
+    frames = stack_frames(ds, dtype=np.float64, max_frames=40)
+    outs = jax.tree.map(np.asarray, run_sequence(frames, ctx))
+    refined, info = refine_trajectory(outs["measurement"], outs["score"],
+                                      outs["scan_pose"])
+    refined = np.asarray(refined)
+    assert np.isfinite(refined).all()
+    # smoothing stays near the online estimate on a well-tracked run
+    d = np.abs(refined[5:, :2] - outs["pose"][5:, :2])
+    assert d.max() < 10.0, d.max()
