@@ -73,8 +73,31 @@ def measure_baseline(ds, art, n_frames: int = 60) -> float:
         return FALLBACK_BASELINE
 
 
+def _arm_watchdog(seconds: float):
+    """The axon TPU tunnel can wedge (observed: device calls hang
+    indefinitely).  If the bench makes no progress in `seconds`, emit a
+    failure JSON line so the driver records the stall instead of
+    hanging."""
+    import threading
+
+    def fire():
+        log(f"WATCHDOG: no result after {seconds:.0f}s - device hung")
+        print(json.dumps({"metric": "scans_per_sec", "value": 0.0,
+                          "unit": "scans/s", "vs_baseline": 0.0}),
+              flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     import jax
+
+    watchdog = _arm_watchdog(float(os.environ.get(
+        "LSDTPU_BENCH_TIMEOUT", "480")))
 
     from lsdtpu.eval import ate as eval_ate
     from lsdtpu.io import load_dataset
@@ -117,6 +140,7 @@ def main():
     if tracked < F or not np.isfinite(a.rmse):
         log("WARNING: tracking degraded - throughput number suspect")
 
+    watchdog.cancel()
     print(json.dumps({
         "metric": "scans_per_sec",
         "value": round(scans_per_sec, 1),
