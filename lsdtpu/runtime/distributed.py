@@ -1,0 +1,56 @@
+"""Multi-host initialization and mesh construction.
+
+The reference is a single process (its only IPC is ROS pub/sub input,
+main_on_linux.cpp:39-44).  The TPU-native scale-out path
+(SURVEY.md 5.8): one JAX process per host, global device mesh, with
+
+  * dp (sequences) laid out across hosts - sequences never communicate,
+    so this axis rides DCN for free;
+  * tp (map-line candidates) or mp (map row blocks) inside each host's
+    chips - the per-frame psum fusion stays on ICI.
+
+All collectives in the engine are plain psum/pmin over named axes, so
+the same `run_batch_sharded*` functions work unchanged on a multi-host
+mesh built here.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from lsdtpu.runtime.shard import DP_AXIS, TP_AXIS, MP_AXIS
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """jax.distributed.initialize with env fallbacks (JAX_COORDINATOR,
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID).  No-op when single-process."""
+    import jax
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR")
+    n = num_processes if num_processes is not None else \
+        int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if n <= 1:
+        return
+    pid = process_id if process_id is not None else \
+        int(os.environ.get("JAX_PROCESS_ID", "0"))
+    jax.distributed.initialize(coordinator_address=addr,
+                               num_processes=n, process_id=pid)
+
+
+def make_pod_mesh(inner: str = TP_AXIS):
+    """(dp, inner) mesh with dp = number of hosts (DCN axis) and the
+    inner axis spanning each host's local chips (ICI axis).
+
+    inner: TP_AXIS (map-line sharding) or MP_AXIS (map-block sharding).
+    """
+    import jax
+    from jax.sharding import Mesh
+    assert inner in (TP_AXIS, MP_AXIS)
+    devs = np.array(jax.devices())
+    n_hosts = max(1, jax.process_count())
+    local = len(devs) // n_hosts
+    return Mesh(devs.reshape(n_hosts, local), (DP_AXIS, inner))

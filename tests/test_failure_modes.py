@@ -1,0 +1,71 @@
+"""Determinism and failure-detection semantics.
+
+SURVEY.md 5.2/5.3: the reference has real races (thread-timing
+dependent candidate order) and one failure mechanism (tracking-loss
+reset to the (-1,-1) sentinel with global relocalization next frame).
+The rebuild makes determinism a test invariant and keeps the reset
+semantics exactly."""
+
+import numpy as np
+import pytest
+
+from lsdtpu.oracle import driver as odrv
+from lsdtpu.runtime.online import OnlineLocalizer
+
+
+@pytest.fixture(scope="module")
+def map_art(dataset_small):
+    ds = dataset_small
+    return odrv.prepare_map(ds.map_value, ds.param.resol)
+
+
+def test_rollout_bitwise_deterministic(dataset_small, map_art):
+    """Same inputs -> bitwise-identical outputs, run to run.  (The
+    reference is nondeterministic here: its result vector order is
+    thread-timing dependent, myFA.cpp:45-62.)"""
+    import jax
+    from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
+    ds = dataset_small
+    ctx = make_map_context(map_art.lines_info, map_art.map_cache,
+                           ds.param.resol, ds.param.ori_x, ds.param.ori_y,
+                           dtype=np.float32)
+    frames = stack_frames(ds, dtype=np.float32, max_frames=25)
+    a = jax.tree.map(np.asarray, run_sequence(frames, ctx))
+    b = jax.tree.map(np.asarray, run_sequence(frames, ctx))
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_tracking_loss_reset_and_relocalization(dataset_small, map_art):
+    """A garbage scan resets the chain to the (-1,-1) sentinel
+    (myFA.cpp:69-89); the next good scan relocalizes globally (the
+    first-frame path ignores the HMM distance gate, myFA.cpp:330)."""
+    ds = dataset_small
+    loc = OnlineLocalizer(dtype=np.float64)
+    loc.set_map_artifacts(map_art.lines_info, map_art.map_cache,
+                          ds.param.resol, ds.param.ori_x, ds.param.ori_y)
+    for f in range(5):
+        out = loc.push_scan(ds.frames[f][:, 0], ds.frames[f][:, 1],
+                            ds.odom[f + 1])
+    assert np.isfinite(out["score"])
+    pose_before = out["pose"].copy()
+
+    # garbage scan: a tiny ring that matches nothing
+    garbage = np.full(360, 0.4)
+    angs = np.linspace(0, 2 * np.pi, 360, endpoint=False)
+    out = loc.push_scan(garbage, angs, ds.odom[6])
+    assert not np.isfinite(out["score"])
+    assert out["pose"][0] == -1 and out["pose"][1] == -1  # sentinel
+
+    # next good scan relocalizes near the pre-loss pose
+    out = loc.push_scan(ds.frames[6][:, 0], ds.frames[6][:, 1],
+                        ds.odom[7])
+    assert np.isfinite(out["score"])
+    assert np.abs(out["pose"][:2] - pose_before[:2]).max() < 30.0
+
+
+def test_legacy_and_tracking_modes_share_map_guard():
+    loc = OnlineLocalizer(mode="legacy")
+    assert not loc.is_map_ready
+    with pytest.raises(RuntimeError):
+        loc.push_scan(np.ones(10), np.zeros(10))
