@@ -25,6 +25,33 @@ def _add_common(p):
     p.add_argument("--f64", action="store_true",
                    help="float64 parity mode (slow on TPU)")
     p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--set", action="append", default=[],
+                   metavar="PATH=VALUE", dest="overrides",
+                   help="config override, e.g. --set match.score_accept=2.5"
+                        " --set faithful=false")
+
+
+def apply_overrides(cfg, pairs):
+    """Dotted-path overrides on the frozen EngineConfig tree."""
+    import dataclasses
+
+    def coerce(old, s):
+        if isinstance(old, bool):
+            return s.lower() in ("1", "true", "yes")
+        return type(old)(s)
+
+    def set_path(obj, path, value):
+        head = path[0]
+        old = getattr(obj, head)
+        if len(path) == 1:
+            return dataclasses.replace(obj, **{head: coerce(old, value)})
+        return dataclasses.replace(obj, **{head: set_path(old, path[1:],
+                                                          value)})
+
+    for pair in pairs:
+        path, _, value = pair.partition("=")
+        cfg = set_path(cfg, path.split("."), value)
+    return cfg
 
 
 def cmd_run(args) -> int:
@@ -34,6 +61,8 @@ def cmd_run(args) -> int:
     from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
     from lsdtpu.runtime.artifacts import prepare_map_cached
 
+    from lsdtpu.config import DEFAULT
+    cfg = apply_overrides(DEFAULT, args.overrides)
     dtype = np.float64 if args.f64 else np.float32
     ds = load_dataset(args.data)
     t0 = time.perf_counter()
@@ -46,7 +75,7 @@ def cmd_run(args) -> int:
     frames = stack_frames(ds, dtype=dtype, max_frames=args.frames)
     t0 = time.perf_counter()
     import jax
-    outs = jax.block_until_ready(run_sequence(frames, ctx))
+    outs = jax.block_until_ready(run_sequence(frames, ctx, cfg))
     dt = time.perf_counter() - t0
     F = frames["ranges"].shape[0]
     poses = np.asarray(outs["pose"])

@@ -201,7 +201,8 @@ def localization_step(state: TrackState, frame_inputs, ctx: MapContext,
         "score": out_score,
         "n_candidates": n_acc,
         "n_scan_lines": jnp.sum(fs.lines_mask),
-        "candidate_overflow": cand.count > cand.mask.shape[0],
+        "candidate_overflow": (cand.count > cand.mask.shape[0]) |
+                              fs.overflow,
         # raw per-frame quantities for batch refinement (refine/):
         # the FA measurement (weighted-mean pose) and the rotated
         # odometry delta fed to the filter

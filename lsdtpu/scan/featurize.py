@@ -61,6 +61,7 @@ class ScanFeatures:
     pixels_mask: jnp.ndarray  # (P,)
     lidar_pos: jnp.ndarray   # (2,) scan-local pixel coords (already integral)
     n_pixels: jnp.ndarray    # () int32
+    overflow: jnp.ndarray    # () bool: a static cap truncated lines/pixels
 
 
 def gap_threshold(ranges):
@@ -283,7 +284,8 @@ def featurize(ranges, angles, valid, n, resol, ori_x, ori_y,
 
     ends = jnp.stack([ax_ - min_x, ay_ - min_y, bx_ - min_x, by_ - min_y],
                      axis=-1)
-    seg_ends, lines_mask, _ = geo.masked_compact(ends, seg_keep, max_lines)
+    seg_ends, lines_mask, n_segs = geo.masked_compact(ends, seg_keep,
+                                                      max_lines)
     lines = geo.lines_info_from_endpoints(
         seg_ends[:, 0], seg_ends[:, 1], seg_ends[:, 2], seg_ends[:, 3])
     # keep padded rows harmless (k would be 0/0 = NaN otherwise)
@@ -302,11 +304,12 @@ def featurize(ranges, angles, valid, n, resol, ori_x, ori_y,
     return ScanFeatures(
         lines=lines, lines_mask=lines_mask,
         pixels=pix.astype(jnp.int32), pixels_mask=pixels_mask,
-        lidar_pos=lidar_pos, n_pixels=n_pix.astype(jnp.int32))
+        lidar_pos=lidar_pos, n_pixels=n_pix.astype(jnp.int32),
+        overflow=(n_segs > max_lines) | (n_pix > max_pixels))
 
 
 jax.tree_util.register_pytree_node(
     ScanFeatures,
     lambda s: ((s.lines, s.lines_mask, s.pixels, s.pixels_mask,
-                s.lidar_pos, s.n_pixels), None),
+                s.lidar_pos, s.n_pixels, s.overflow), None),
     lambda _, c: ScanFeatures(*c))

@@ -151,3 +151,21 @@ def test_tpu_lsd_matches_reference_golden_dump(dataset_small, data_root):
     best = np.minimum(d1, d2).min(1)
     assert (best < 1.0).sum() >= 0.85 * len(golden)
     assert (best < 25.0).all()
+
+
+def test_lsd_aisle_map_wall_parity(data_root):
+    """Largest bundled map family (aisle, 625x1621, 70+ lines): the
+    static caps must hold and the wall set must match the oracle."""
+    mp = loaders.load_map_param(f"{data_root}/data/mapParam_aisle1.txt")
+    mv = loaders.load_map_value(f"{data_root}/data/mapValue_aisle1.txt",
+                                mp)
+    from lsdtpu.mapprep.lsd import line_segment_detector
+    want = olsd.line_segment_detector(mv.copy()).lines_info
+    lines, mask, n, _ = line_segment_detector(mv.copy())
+    got = np.asarray(lines)[np.asarray(mask)]
+    assert abs(len(got) - len(want)) <= 3
+    ge, oe = want[:, 4:8], got[:, 4:8]
+    d1 = np.abs(ge[:, None, :] - oe[None, :, :]).max(-1)
+    d2 = np.abs(ge[:, None, :] - oe[:, [2, 3, 0, 1]][None, :, :]).max(-1)
+    matched = (np.minimum(d1, d2).min(1) < 25).sum()
+    assert matched >= len(want) - 2, f"{matched}/{len(want)}"
