@@ -1,0 +1,168 @@
+"""Multi-session serving: N robots localized in one batched device call.
+
+Production-serving layer with no reference equivalent (the reference
+is one robot per process).  TPU-native design: a fixed pool of session
+slots compiled once as a vmapped per-frame step; every tick executes
+ALL active sessions' scans in a single device call, so one chip serves
+a fleet.  Maps are padded onto a common canvas (the same batching rule
+as runtime/batch.py); per-slot TrackState lives on device between
+ticks; joining/leaving sessions just swaps a slot's map context and
+resets its state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsdtpu.config import EngineConfig, DEFAULT
+from lsdtpu.runtime.loop import (MapContext, TrackState, init_state,
+                                 localization_step)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _pool_step(states: TrackState, inputs, ctxs: MapContext, active,
+               cfg: EngineConfig):
+    """Vmapped localization step; inactive slots keep their state."""
+
+    def one(state, inp, ctx):
+        return localization_step(state, inp, ctx, cfg)
+
+    new_states, outs = jax.vmap(one)(states, inputs, ctxs)
+    keep = lambda new, old: jnp.where(
+        active.reshape((-1,) + (1,) * (new.ndim - 1)), new, old)
+    new_states = jax.tree.map(keep, new_states, states)
+    return new_states, outs
+
+
+class SessionPool:
+    """Fixed-capacity pool of concurrent localization sessions."""
+
+    def __init__(self, capacity: int, canvas_hw, cfg: EngineConfig = DEFAULT,
+                 dtype=np.float32):
+        self.capacity = capacity
+        self.cfg = cfg
+        self.dtype = dtype
+        self.H, self.W = canvas_hw
+        M = cfg.shapes.max_map_lines
+        z = jnp.zeros
+        self._ctxs = MapContext(
+            lines=z((capacity, M, 10), dtype),
+            lines_mask=z((capacity, M), bool),
+            cache=jnp.full((capacity, self.H, self.W),
+                           cfg.map.z_occ_max_dis, dtype),
+            rows=z((capacity,), jnp.int32), cols=z((capacity,), jnp.int32),
+            resol=jnp.ones((capacity,), dtype),
+            ori_x=z((capacity,), dtype), ori_y=z((capacity,), dtype))
+        self._states = jax.vmap(lambda _: init_state(jnp.dtype(dtype)))(
+            jnp.arange(capacity))
+        self._free: List[int] = list(range(capacity))
+        self._sessions: Dict[str, int] = {}
+        self._prev_odom: Dict[str, np.ndarray] = {}
+        self._pending: Dict[int, tuple] = {}
+
+    # -- session lifecycle ------------------------------------------------
+    def open_session(self, sid: str, lines_info, map_cache, resol,
+                     ori_x, ori_y) -> None:
+        if sid in self._sessions:
+            raise ValueError(f"session {sid!r} already open")
+        if not self._free:
+            raise RuntimeError("pool full")
+        h, w = map_cache.shape
+        if h > self.H or w > self.W:
+            raise ValueError(f"map {h}x{w} exceeds canvas "
+                             f"{self.H}x{self.W}")
+        slot = self._free.pop(0)
+        M = self.cfg.shapes.max_map_lines
+        lines = np.zeros((M, 10), self.dtype)
+        mask = np.zeros((M,), bool)
+        k = min(len(lines_info), M)
+        lines[:k] = lines_info[:k]
+        mask[:k] = True
+        cache = np.full((self.H, self.W), self.cfg.map.z_occ_max_dis,
+                        self.dtype)
+        cache[:h, :w] = map_cache
+
+        def set_slot(arr, val):
+            return arr.at[slot].set(val)
+
+        self._ctxs = MapContext(
+            lines=set_slot(self._ctxs.lines, lines),
+            lines_mask=set_slot(self._ctxs.lines_mask, mask),
+            cache=set_slot(self._ctxs.cache, cache),
+            rows=set_slot(self._ctxs.rows, h),
+            cols=set_slot(self._ctxs.cols, w),
+            resol=set_slot(self._ctxs.resol, resol),
+            ori_x=set_slot(self._ctxs.ori_x, ori_x),
+            ori_y=set_slot(self._ctxs.ori_y, ori_y))
+        self._reset_slot(slot)
+        self._sessions[sid] = slot
+
+    def close_session(self, sid: str) -> None:
+        slot = self._sessions.pop(sid)
+        self._prev_odom.pop(sid, None)
+        self._pending.pop(slot, None)
+        self._free.append(slot)
+
+    def _reset_slot(self, slot: int) -> None:
+        fresh = init_state(jnp.dtype(self.dtype))
+        self._states = jax.tree.map(
+            lambda arr, v: arr.at[slot].set(v), self._states, fresh)
+
+    @property
+    def n_active(self) -> int:
+        return len(self._sessions)
+
+    # -- per-tick IO ------------------------------------------------------
+    def submit_scan(self, sid: str, ranges, angles,
+                    odom: Optional[np.ndarray] = None) -> None:
+        slot = self._sessions[sid]
+        N = self.cfg.shapes.points_per_scan
+        n = min(len(ranges), N)
+        r = np.zeros(N, self.dtype)
+        a = np.zeros(N, self.dtype)
+        v = np.zeros(N, bool)
+        r[:n] = ranges[:n]
+        a[:n] = angles[:n]
+        v[:n] = True
+        odom = np.zeros(3, self.dtype) if odom is None else \
+            np.asarray(odom, self.dtype)
+        prev = self._prev_odom.get(sid, odom)
+        self._pending[slot] = (r, a, v, n, prev, odom)
+        self._prev_odom[sid] = odom
+
+    def step(self) -> Dict[str, dict]:
+        """Run one batched device call over all submitted scans."""
+        if not self._pending:
+            return {}
+        N = self.cfg.shapes.points_per_scan
+        B = self.capacity
+        z = np.zeros
+        ranges = z((B, N), self.dtype)
+        angles = z((B, N), self.dtype)
+        valid = z((B, N), bool)
+        counts = z((B,), np.int32)
+        prevs = z((B, 3), self.dtype)
+        curs = z((B, 3), self.dtype)
+        active = np.zeros((B,), bool)
+        for slot, (r, a, v, n, p, c) in self._pending.items():
+            ranges[slot], angles[slot], valid[slot] = r, a, v
+            counts[slot], prevs[slot], curs[slot] = n, p, c
+            active[slot] = True
+        inputs = (jnp.asarray(ranges), jnp.asarray(angles),
+                  jnp.asarray(valid), jnp.asarray(counts),
+                  jnp.asarray(prevs), jnp.asarray(curs))
+        self._states, outs = _pool_step(self._states, inputs, self._ctxs,
+                                        jnp.asarray(active), self.cfg)
+        outs = {k: np.asarray(v) for k, v in outs.items()}
+        results = {}
+        for sid, slot in self._sessions.items():
+            if active[slot]:
+                results[sid] = {k: v[slot] for k, v in outs.items()}
+        self._pending.clear()
+        return results

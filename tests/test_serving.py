@@ -1,0 +1,74 @@
+"""SessionPool: batched multi-robot serving must reproduce per-robot
+OnlineLocalizer results exactly, across joins/leaves and idle slots."""
+
+import numpy as np
+import pytest
+
+from lsdtpu.oracle import driver as odrv
+from lsdtpu.runtime.online import OnlineLocalizer
+from lsdtpu.runtime.serving import SessionPool
+
+
+@pytest.fixture(scope="module")
+def map_art(dataset_small):
+    ds = dataset_small
+    return odrv.prepare_map(ds.map_value, ds.param.resol)
+
+
+def _reference_poses(ds, art, n_frames, start=0):
+    loc = OnlineLocalizer(dtype=np.float64)
+    loc.set_map_artifacts(art.lines_info, art.map_cache, ds.param.resol,
+                          ds.param.ori_x, ds.param.ori_y)
+    out = []
+    for f in range(start, start + n_frames):
+        out.append(loc.push_scan(ds.frames[f][:, 0], ds.frames[f][:, 1],
+                                 ds.odom[f + 1])["pose"])
+    return np.stack(out)
+
+
+def test_pool_matches_single_sessions(dataset_small, map_art):
+    ds = dataset_small
+    NF = 6
+    want_a = _reference_poses(ds, map_art, NF, start=0)
+    want_b = _reference_poses(ds, map_art, NF, start=10)
+
+    pool = SessionPool(capacity=4, canvas_hw=map_art.map_cache.shape,
+                       dtype=np.float64)
+    args = (map_art.lines_info, map_art.map_cache, ds.param.resol,
+            ds.param.ori_x, ds.param.ori_y)
+    pool.open_session("a", *args)
+    pool.open_session("b", *args)
+    got_a, got_b = [], []
+    for f in range(NF):
+        fa, fb = ds.frames[f], ds.frames[f + 10]
+        pool.submit_scan("a", fa[:, 0], fa[:, 1], ds.odom[f + 1])
+        pool.submit_scan("b", fb[:, 0], fb[:, 1], ds.odom[f + 11])
+        res = pool.step()
+        got_a.append(res["a"]["pose"])
+        got_b.append(res["b"]["pose"])
+    np.testing.assert_allclose(np.stack(got_a), want_a, atol=1e-9)
+    np.testing.assert_allclose(np.stack(got_b), want_b, atol=1e-9)
+
+
+def test_pool_join_leave_and_capacity(dataset_small, map_art):
+    ds = dataset_small
+    args = (map_art.lines_info, map_art.map_cache, ds.param.resol,
+            ds.param.ori_x, ds.param.ori_y)
+    pool = SessionPool(capacity=2, canvas_hw=map_art.map_cache.shape,
+                       dtype=np.float64)
+    pool.open_session("a", *args)
+    pool.open_session("b", *args)
+    with pytest.raises(RuntimeError):
+        pool.open_session("c", *args)
+    pool.close_session("a")
+    pool.open_session("c", *args)
+    assert pool.n_active == 2
+
+    # a fresh session in a reused slot starts from the reset state
+    fr = ds.frames[0]
+    pool.submit_scan("c", fr[:, 0], fr[:, 1], ds.odom[1])
+    res = pool.step()
+    want = _reference_poses(ds, map_art, 1)[0]
+    np.testing.assert_allclose(res["c"]["pose"], want, atol=1e-9)
+    # idle session "b" was untouched this tick
+    assert "b" not in res
