@@ -11,7 +11,6 @@ candidates) gets a padded fixed-width representation here.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

@@ -20,7 +20,6 @@ world = px * mapResol + mapOri (FeatureAssociation.cpp:126-127).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import numpy as np
 

@@ -12,7 +12,6 @@ shapes.  Rectangles are dicts of traced scalars.
 from __future__ import annotations
 
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

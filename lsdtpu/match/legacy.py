@@ -19,7 +19,6 @@ legacy semantics:
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -16,7 +16,6 @@ LSD/main_on_windows.cpp:16-241) including its quirks:
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import List, Optional
 
 import numpy as np

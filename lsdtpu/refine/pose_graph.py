@@ -29,7 +29,6 @@ callers can reweight or freeze poses.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

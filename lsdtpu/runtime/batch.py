@@ -16,7 +16,7 @@ true length on the host.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

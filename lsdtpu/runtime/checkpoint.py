@@ -13,7 +13,6 @@ from __future__ import annotations
 import os
 import tempfile
 
-import jax
 import numpy as np
 
 from lsdtpu.runtime.loop import TrackState

@@ -18,7 +18,6 @@ Faithful-mode quirks (config.faithful):
 from __future__ import annotations
 
 import dataclasses
-import math
 from functools import partial
 from typing import Optional, Tuple
 
@@ -30,7 +29,6 @@ from lsdtpu import geometry as geo
 from lsdtpu.config import EngineConfig, DEFAULT
 from lsdtpu.filter import ukf as fukf
 from lsdtpu.match import associate as assoc
-from lsdtpu.scan import featurize as feat_mod
 from lsdtpu.scan.featurize import featurize
 
 

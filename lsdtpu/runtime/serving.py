@@ -12,7 +12,6 @@ resets its state.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Dict, List, Optional
 

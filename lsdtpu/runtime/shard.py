@@ -24,8 +24,7 @@ so scaling to multi-host pods puts dp on DCN and tp on ICI.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

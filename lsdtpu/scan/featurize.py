@@ -31,13 +31,11 @@ from __future__ import annotations
 import dataclasses
 import math
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 from lsdtpu import geometry as geo
-from lsdtpu.config import RDPConfig, ShapeConfig
 
 PI = math.pi
 
