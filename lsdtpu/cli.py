@@ -64,6 +64,8 @@ def cmd_run(args) -> int:
     from lsdtpu.config import DEFAULT
     cfg = apply_overrides(DEFAULT, args.overrides)
     dtype = np.float64 if args.f64 else np.float32
+    if getattr(args, "mode", "tracking") == "legacy":
+        return _run_legacy(args, cfg, dtype)
     ds = load_dataset(args.data)
     t0 = time.perf_counter()
     lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
@@ -97,6 +99,37 @@ def cmd_run(args) -> int:
         summary["ate_rmse_m"] = round(a.rmse, 4)
         summary["ate_max_m"] = round(a.max, 4)
     print(json.dumps(summary), file=sys.stderr)
+    return 0
+
+
+def _run_legacy(args, cfg, dtype) -> int:
+    """ROS-generation driver: global first-minimum matcher per frame."""
+    import numpy as np
+    from lsdtpu.io import load_dataset
+    from lsdtpu.runtime.artifacts import prepare_map_cached
+    from lsdtpu.runtime.online import OnlineLocalizer
+
+    ds = load_dataset(args.data)
+    lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
+                                      z_occ_max_dis=2.0,
+                                      backend=args.mapprep)
+    loc = OnlineLocalizer(cfg=cfg, mode="legacy", dtype=dtype)
+    loc.set_map_artifacts(lines, cache, ds.param.resol, ds.param.ori_x,
+                          ds.param.ori_y)
+    F = len(ds.frames) if args.frames is None else \
+        min(args.frames, len(ds.frames))
+    tracked = 0
+    for f in range(F):
+        fr = ds.frames[f]
+        out = loc.push_scan(fr[:, 0], fr[:, 1])
+        sc = float(out["score"])
+        tracked += int(np.isfinite(sc))
+        print(json.dumps({
+            "frame": f + 1,
+            "pose": [round(float(v), 3) for v in out["pose"]],
+            "pose_world": [round(float(v), 3) for v in out["pose_world"]],
+            "score": round(sc, 4) if np.isfinite(sc) else None}))
+    print(json.dumps({"frames": F, "tracked": tracked}), file=sys.stderr)
     return 0
 
 
@@ -152,6 +185,10 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("run", help="offline dataset rollout")
     _add_common(p)
+    p.add_argument("--mode", choices=("tracking", "legacy"),
+                   default="tracking",
+                   help="tracking = Windows V2.6 pipeline (HMM+UKF); "
+                        "legacy = ROS V2.2 global matcher")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("prepare-map", help="build + cache map artifacts")

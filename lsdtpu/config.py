@@ -71,7 +71,11 @@ class ShapeConfig:
     max_scan_pixels: int = 2048    # rasterized scan pixels per frame (cap)
     max_cells: int = 64            # clusters per scan (cap)
     max_splits: int = 360          # RDP split points (absolute bound)
-    max_candidates: int = 4096     # gated (scan, map, 4) hypotheses (cap)
+    # gated (scan, map, 4) hypotheses: measured max over the bundled
+    # datasets is 1008 (global-relocalization first frame; tracking
+    # frames stay under ~60) - 2048 gives 2x headroom, and the
+    # candidate_overflow output flags any excess
+    max_candidates: int = 2048
 
 
 @dataclasses.dataclass(frozen=True)
