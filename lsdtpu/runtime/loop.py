@@ -89,6 +89,21 @@ def init_state(dtype=jnp.float32) -> TrackState:
         frame=jnp.zeros((), jnp.int32))
 
 
+def featurize_stage(frame_inputs, ctx: MapContext,
+                    cfg: EngineConfig = DEFAULT):
+    """Pipeline stage A: scan featurization only (L3 of the reference).
+    frame_inputs: (ranges, angles, valid, n, odom_prev, odom_cur)."""
+    ranges, angles, valid, n, _op, _oc = frame_inputs
+    sh = cfg.shapes
+    return featurize(ranges, angles, valid, n, ctx.resol, ctx.ori_x,
+                     ctx.ori_y,
+                     least_point=cfg.rdp.least_point,
+                     thre_line=cfg.rdp.thre_line,
+                     least_dist=cfg.rdp.least_dist,
+                     max_lines=sh.max_scan_lines,
+                     max_pixels=sh.max_scan_pixels)
+
+
 def localization_step(state: TrackState, frame_inputs, ctx: MapContext,
                       cfg: EngineConfig = DEFAULT,
                       tp_axis: Optional[str] = None,
@@ -100,14 +115,20 @@ def localization_step(state: TrackState, frame_inputs, ctx: MapContext,
                    odom_prev (3,), odom_cur (3,)).
     Returns (new_state, outputs dict).
     """
+    fs = featurize_stage(frame_inputs, ctx, cfg)
+    return match_stage(state, fs, frame_inputs, ctx, cfg,
+                       tp_axis=tp_axis, mp_axis=mp_axis)
+
+
+def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
+                cfg: EngineConfig = DEFAULT,
+                tp_axis: Optional[str] = None,
+                mp_axis: Optional[str] = None
+                ) -> Tuple[TrackState, dict]:
+    """Pipeline stage B: association + fusion + UKF + driver state
+    (L4/L5 of the reference), consuming pre-computed ScanFeatures."""
     ranges, angles, valid, n, odom_prev, odom_cur = frame_inputs
     sh = cfg.shapes
-    fs = featurize(ranges, angles, valid, n, ctx.resol, ctx.ori_x, ctx.ori_y,
-                   least_point=cfg.rdp.least_point,
-                   thre_line=cfg.rdp.thre_line,
-                   least_dist=cfg.rdp.least_dist,
-                   max_lines=sh.max_scan_lines,
-                   max_pixels=sh.max_scan_pixels)
 
     # --- ScanPose from odometry (main_on_windows.cpp:132-153) ---
     dt = ranges.dtype
