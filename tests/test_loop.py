@@ -44,3 +44,19 @@ def test_rollout_f32_close_to_oracle(dataset_small, map_art):
     outs = run_sequence(frames, ctx, DEFAULT)
     err = np.abs(np.asarray(outs["pose"])[:, :2] - ores.poses[:, :2])
     assert err.max() < 2.0, f"f32 pose drift {err.max()} px"
+
+
+@pytest.mark.slow
+def test_full_sequence_parity_f64(dataset_small, map_art):
+    """All 99 frames of data/ vs the oracle driver, f64."""
+    import numpy as np
+    ds = dataset_small
+    ores = odrv.run_sequence(ds, map_art)
+    ctx = make_map_context(map_art.lines_info, map_art.map_cache,
+                           ds.param.resol, ds.param.ori_x, ds.param.ori_y,
+                           dtype=np.float64)
+    frames = stack_frames(ds, dtype=np.float64)
+    outs = run_sequence(frames, ctx, DEFAULT)
+    assert not bool(np.asarray(outs["candidate_overflow"]).any())
+    np.testing.assert_allclose(np.asarray(outs["pose"]), ores.poses,
+                               atol=1e-5)
