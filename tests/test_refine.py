@@ -73,3 +73,42 @@ def test_refine_on_real_rollout(dataset_small):
     # smoothing stays near the online estimate on a well-tracked run
     d = np.abs(refined[5:, :2] - outs["pose"][5:, :2])
     assert d.max() < 10.0, d.max()
+
+
+def test_distributed_solver_matches_sequential():
+    """Segment+separator Schur solve == sequential block Thomas."""
+    from lsdtpu.refine.pose_graph import refine_trajectory_distributed
+    truth, meas, scores, u = _synthetic(F=128, noise=1.5, seed=3)
+    scores[30:40] = np.inf
+    meas[30:40] = np.nan
+    want, _ = refine_trajectory(meas, scores, u)
+    for P in (2, 8, 16):
+        got, _ = refine_trajectory_distributed(meas, scores, u,
+                                               n_segments=P)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-7, err_msg=f"P={P}")
+
+
+def test_distributed_solver_long_concatenated_sequence(dataset_small):
+    """BASELINE config 5 shape: a long concatenated trajectory refined
+    segment-parallel, equal to the sequential solve."""
+    import jax
+    from lsdtpu.oracle import driver as odrv
+    from lsdtpu.refine.pose_graph import refine_trajectory_distributed
+    from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
+    ds = dataset_small
+    art = odrv.prepare_map(ds.map_value, ds.param.resol)
+    ctx = make_map_context(art.lines_info, art.map_cache, ds.param.resol,
+                           ds.param.ori_x, ds.param.ori_y,
+                           dtype=np.float64)
+    frames = stack_frames(ds, dtype=np.float64, max_frames=32)
+    outs = jax.tree.map(np.asarray, run_sequence(frames, ctx))
+    # concatenate the trajectory with itself (odometry chain restarts
+    # are fine: the seam frame keeps its own measurement)
+    meas = np.concatenate([outs["measurement"]] * 4)
+    scores = np.concatenate([outs["score"]] * 4)
+    u = np.concatenate([outs["scan_pose"]] * 4)
+    want, _ = refine_trajectory(meas, scores, u)
+    got, _ = refine_trajectory_distributed(meas, scores, u, n_segments=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6)
