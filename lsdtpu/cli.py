@@ -147,6 +147,47 @@ def cmd_prepare_map(args) -> int:
     return 0
 
 
+def cmd_refine(args) -> int:
+    """Rollout + offline batch pose-graph refinement + ATE compare."""
+    import jax
+    import numpy as np
+    from lsdtpu.eval import ate as eval_ate
+    from lsdtpu.io import load_dataset
+    from lsdtpu.refine.pose_graph import (refine_trajectory,
+                                          refine_trajectory_distributed)
+    from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
+    from lsdtpu.runtime.artifacts import prepare_map_cached
+
+    ds = load_dataset(args.data)
+    lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
+                                      backend=args.mapprep)
+    ctx = make_map_context(lines, cache, ds.param.resol, ds.param.ori_x,
+                           ds.param.ori_y, dtype=np.float32)
+    frames = stack_frames(ds, dtype=np.float32, max_frames=args.frames)
+    outs = jax.tree.map(np.asarray, run_sequence(frames, ctx))
+    meas = outs["measurement"].astype(np.float64)
+    scores = outs["score"].astype(np.float64)
+    u = outs["scan_pose"].astype(np.float64)
+    F = meas.shape[0]
+    if args.segments > 1 and F % args.segments == 0 and \
+            F // args.segments >= 2:
+        refined, info = refine_trajectory_distributed(
+            meas, scores, u, n_segments=args.segments)
+    else:
+        refined, info = refine_trajectory(meas, scores, u)
+    refined = np.asarray(refined)
+    rec = {"frames": F, "n_measured": int(info["n_measured"]),
+           "segments": args.segments}
+    if ds.real_pos is not None:
+        for name, poses in (("online", outs["pose"]), ("refined", refined)):
+            a = eval_ate.keyframe_ate(poses, ds.real_pos,
+                                      ds.recorded_odom, ds.param.resol,
+                                      ds.param.ori_x, ds.param.ori_y)
+            rec[f"ate_{name}_rmse_m"] = round(a.rmse, 4)
+    print(json.dumps(rec))
+    return 0
+
+
 def cmd_bench(_args) -> int:
     import bench
     bench.main()
@@ -194,6 +235,12 @@ def main(argv=None) -> int:
     p = sub.add_parser("prepare-map", help="build + cache map artifacts")
     _add_common(p)
     p.set_defaults(fn=cmd_prepare_map)
+
+    p = sub.add_parser("refine", help="offline pose-graph smoothing")
+    _add_common(p)
+    p.add_argument("--segments", type=int, default=1,
+                   help=">1 uses the distributed Schur solver")
+    p.set_defaults(fn=cmd_refine)
 
     p = sub.add_parser("bench", help="headline throughput benchmark")
     p.set_defaults(fn=cmd_bench)

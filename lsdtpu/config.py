@@ -68,7 +68,9 @@ class ShapeConfig:
     points_per_scan: int = 360     # lidar points per revolution (pointPerLoop)
     max_scan_lines: int = 64       # scan segments per frame (cap)
     max_map_lines: int = 256       # LSD lines per map (cap)
-    max_scan_pixels: int = 2048    # rasterized scan pixels per frame (cap)
+    # rasterized scan pixels per frame: measured max over the bundled
+    # datasets is 2728 (truncation would silently weaken CalcScore)
+    max_scan_pixels: int = 4096
     max_cells: int = 64            # clusters per scan (cap)
     max_splits: int = 360          # RDP split points (absolute bound)
     # gated (scan, map, 4) hypotheses: measured max over the bundled
