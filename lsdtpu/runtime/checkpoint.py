@@ -47,3 +47,21 @@ def load_state(path: str, dtype=None) -> TrackState:
             a = a.astype(dtype)
         kw[f] = jnp.asarray(a)
     return TrackState(**kw)
+
+
+def save_state_orbax(path: str, state: TrackState) -> None:
+    """Orbax-backed checkpoint (async-capable, multi-host-aware) for
+    production deployments; npz stays the dependency-free default."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path),
+               {f: getattr(state, f) for f in _FIELDS}, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_state_orbax(path: str) -> TrackState:
+    import jax
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    tree = ckptr.restore(os.path.abspath(path))
+    return TrackState(**{f: jax.numpy.asarray(tree[f]) for f in _FIELDS})

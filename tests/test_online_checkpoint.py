@@ -90,3 +90,18 @@ def test_checkpoint_resume_mid_sequence(dataset_small, map_art, tmp_path):
                        ds.odom[f + 1])["pose"] for f in range(CUT, NF)]
     np.testing.assert_allclose(np.stack(got), np.stack(ref_poses[CUT:]),
                                atol=1e-9)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from lsdtpu.runtime.checkpoint import (load_state_orbax,
+                                           save_state_orbax)
+    from lsdtpu.runtime.loop import init_state
+    st = init_state(jnp.float32)
+    path = str(tmp_path / "ckpt")
+    save_state_orbax(path, st)
+    back = load_state_orbax(path)
+    for f in ("kalman_x", "kalman_P", "last_pose", "ang_sum", "ang_cnt",
+              "is_offset", "frame"):
+        np.testing.assert_array_equal(np.asarray(getattr(back, f)),
+                                      np.asarray(getattr(st, f)), f)
