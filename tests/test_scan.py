@@ -55,3 +55,40 @@ def test_featurize_empty_frame():
     f = featurize(r, a, v, np.int32(0), 0.025, -4.0, -5.0)
     assert int(np.asarray(f.lines_mask).sum()) == 0
     assert int(np.asarray(f.pixels_mask).sum()) == 0
+
+
+def test_featurize_random_scans_match_oracle(dataset_small):
+    """Property test: random synthetic scans (clusters, gaps, inf-like
+    dropouts, wrap-around) must match the oracle RDP exactly."""
+    import jax.numpy as jnp
+    from lsdtpu.oracle import rdp as ordp
+    from lsdtpu.scan.featurize import featurize
+    ds = dataset_small
+    rng = np.random.default_rng(42)
+    for trial in range(12):
+        n = int(rng.integers(40, 360))
+        angles = np.sort(rng.uniform(0, 2 * np.pi, n))
+        # piecewise-smooth ranges: random walls + jumps
+        ranges = 2.0 + 1.5 * np.sin(angles * rng.integers(1, 4)) + \
+            rng.normal(0, 0.01, n)
+        jumps = rng.random(n) < 0.05
+        ranges = np.where(jumps, ranges + rng.uniform(1, 4, n), ranges)
+        ranges = np.abs(ranges) + 0.2
+
+        fs_o = ordp.feature_scan(ranges, angles, ds.param.resol,
+                                 ds.param.ori_x, ds.param.ori_y)
+        N = 360
+        r = np.zeros(N); a = np.zeros(N); v = np.zeros(N, bool)
+        r[:n] = ranges; a[:n] = angles; v[:n] = True
+        fs_j = featurize(jnp.asarray(r), jnp.asarray(a), jnp.asarray(v),
+                         jnp.asarray(n), jnp.asarray(ds.param.resol),
+                         jnp.asarray(ds.param.ori_x),
+                         jnp.asarray(ds.param.ori_y))
+        got = np.asarray(fs_j.lines)[np.asarray(fs_j.lines_mask)]
+        want = fs_o.lines_info
+        assert len(got) == len(want), (trial, len(got), len(want))
+        if len(want):
+            gs = got[np.lexsort(got[:, 4:6].T)]
+            ws = want[np.lexsort(want[:, 4:6].T)]
+            np.testing.assert_allclose(gs, ws, atol=1e-9,
+                                       err_msg=f"trial {trial}")
