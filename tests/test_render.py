@@ -14,6 +14,7 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lsdtpu.io import load_lines_info
 from lsdtpu.render import render_line_image
@@ -69,3 +70,23 @@ def test_stage_timings_and_frame_log(dataset_small, tmp_path=None):
     recs = [_json.loads(l) for l in buf.getvalue().splitlines()]
     assert len(recs) == 3 and recs[0]["frame"] == 1
     assert all(r["tracking"] for r in recs)
+
+
+@pytest.mark.slow
+def test_sweep_script_runs(data_root):
+    """scripts/sweep_ate.py end-to-end on one dataset."""
+    import json
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, "scripts/sweep_ate.py", "--mapprep", "oracle",
+         "--roots", f"{data_root}/data_20190513/data_f3key/data4"],
+        capture_output=True, text=True, timeout=500,
+        cwd=__file__.rsplit("/tests/", 1)[0],
+        env={"PYTHONPATH": __file__.rsplit("/tests/", 1)[0],
+             "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+             "HOME": "/root"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(l) for l in r.stdout.splitlines()]
+    assert lines[0]["tracked"] == lines[0]["frames"]
+    assert lines[-1]["summary"]["with_gt"] == 1
