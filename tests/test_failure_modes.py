@@ -69,3 +69,18 @@ def test_legacy_and_tracking_modes_share_map_guard():
     assert not loc.is_map_ready
     with pytest.raises(RuntimeError):
         loc.push_scan(np.ones(10), np.zeros(10))
+
+
+def test_synthetic_room_localizes_to_truth():
+    """Closed-loop sanity: a simulated rectangular room with the robot
+    at the map center must localize to the center (no dataset, pure
+    geometry)."""
+    import jax
+    from lsdtpu.runtime.loop import run_sequence
+    import __graft_entry__ as g
+    frames, ctx = g._tiny_scene(n_frames=3)
+    outs = jax.tree.map(np.asarray, run_sequence(frames, ctx))
+    assert np.isfinite(outs["score"]).all()
+    # map is 128x128, robot at the center (64, 64)
+    final = outs["pose"][-1]
+    assert abs(final[0] - 64) < 2 and abs(final[1] - 64) < 2, final
