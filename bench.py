@@ -23,7 +23,6 @@ single-sequence rollout, which is the reference's own execution shape
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import sys
@@ -31,8 +30,6 @@ import time
 
 import numpy as np
 
-REPO = os.path.dirname(os.path.abspath(__file__))
-CACHE_DIR = os.path.join(REPO, ".cache")
 DATA = "/root/reference/data_20190513/data_f3key/data1"
 REPEATS = 3
 FALLBACK_BASELINE = 105.2  # oracle scans/s measured on this host 2026-08-17
@@ -43,18 +40,11 @@ def log(*a):
 
 
 def prepare_map_cached(ds):
-    """Oracle map prep (LSD lines + distance field), cached by map hash."""
-    from lsdtpu.oracle import driver as odrv
+    """Oracle map prep (LSD lines + distance field), cached by content
+    hash under ~/.cache/lsdtpu (runtime/artifacts.py)."""
+    from lsdtpu.runtime.artifacts import prepare_map_cached as pmc
 
-    h = hashlib.sha256(ds.map_value.tobytes()).hexdigest()[:16]
-    path = os.path.join(CACHE_DIR, f"map_{h}.npz")
-    if os.path.exists(path):
-        z = np.load(path)
-        return z["lines"], z["cache"]
-    art = odrv.prepare_map(ds.map_value, ds.param.resol)
-    os.makedirs(CACHE_DIR, exist_ok=True)
-    np.savez_compressed(path, lines=art.lines_info, cache=art.map_cache)
-    return art.lines_info, art.map_cache
+    return pmc(ds.map_value, ds.param.resol, backend="oracle")
 
 
 def measure_baseline(ds, art, n_frames: int = 60) -> float:

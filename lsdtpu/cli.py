@@ -69,6 +69,7 @@ def cmd_run(args) -> int:
     ds = load_dataset(args.data)
     t0 = time.perf_counter()
     lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
+                                      z_occ_max_dis=cfg.map.z_occ_max_dis,
                                       backend=args.mapprep)
     print(f"map: {len(lines)} lines, cache {cache.shape} "
           f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
@@ -83,9 +84,10 @@ def cmd_run(args) -> int:
     poses = np.asarray(outs["pose"])
     scores = np.asarray(outs["score"])
     for f in range(F):
+        sc = float(scores[f])
         rec = {"frame": f + 1, "pose": [round(float(v), 3)
                                         for v in poses[f]],
-               "score": round(float(scores[f]), 4),
+               "score": round(sc, 4) if np.isfinite(sc) else None,
                "n_candidates": int(np.asarray(outs["n_candidates"])[f])}
         print(json.dumps(rec))
     tracked = int(np.isfinite(scores).sum())
@@ -134,12 +136,15 @@ def _run_legacy(args, cfg, dtype) -> int:
 
 
 def cmd_prepare_map(args) -> int:
+    from lsdtpu.config import DEFAULT
     from lsdtpu.io import load_dataset
     from lsdtpu.runtime.artifacts import prepare_map_cached
 
+    cfg = apply_overrides(DEFAULT, args.overrides)
     ds = load_dataset(args.data)
     t0 = time.perf_counter()
     lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
+                                      z_occ_max_dis=cfg.map.z_occ_max_dis,
                                       backend=args.mapprep)
     print(json.dumps({"lines": len(lines),
                       "cache_shape": list(cache.shape),
@@ -158,13 +163,17 @@ def cmd_refine(args) -> int:
     from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
     from lsdtpu.runtime.artifacts import prepare_map_cached
 
+    from lsdtpu.config import DEFAULT
+    cfg = apply_overrides(DEFAULT, args.overrides)
+    dtype = np.float64 if args.f64 else np.float32
     ds = load_dataset(args.data)
     lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
+                                      z_occ_max_dis=cfg.map.z_occ_max_dis,
                                       backend=args.mapprep)
     ctx = make_map_context(lines, cache, ds.param.resol, ds.param.ori_x,
-                           ds.param.ori_y, dtype=np.float32)
-    frames = stack_frames(ds, dtype=np.float32, max_frames=args.frames)
-    outs = jax.tree.map(np.asarray, run_sequence(frames, ctx))
+                           ds.param.ori_y, dtype=dtype)
+    frames = stack_frames(ds, dtype=dtype, max_frames=args.frames)
+    outs = jax.tree.map(np.asarray, run_sequence(frames, ctx, cfg))
     meas = outs["measurement"].astype(np.float64)
     scores = outs["score"].astype(np.float64)
     u = outs["scan_pose"].astype(np.float64)

@@ -70,9 +70,22 @@ def _inv3(M):
     return adj / det
 
 
-def ukf_step(kalman_x, kalman_P, scan_pose, measurement):
+def _transition(dt_step: float):
+    F = np.eye(L)
+    for i in range(3):
+        F[i, i + 3] = dt_step
+        F[i + 3, i + 6] = dt_step
+        F[i, i + 6] = 0.5 * dt_step * dt_step
+    return F
+
+
+def ukf_step(kalman_x, kalman_P, scan_pose, measurement,
+             alpha: float = ALPHA, beta: float = BETA, kappa: float = KI,
+             dt_step: float = DT):
     """One UKF predict+update.  All args are jnp arrays:
     kalman_x (9,), kalman_P (9,9), scan_pose (3,), measurement (3,).
+    alpha/beta/kappa/dt_step mirror FilterConfig (defaults = reference
+    values, myFA.cpp:431-433).
 
     All matmuls run at HIGHEST precision: the default TPU bf16 matmul
     corrupts the covariance and the Cholesky goes NaN within a few
@@ -81,14 +94,14 @@ def ukf_step(kalman_x, kalman_P, scan_pose, measurement):
         dt = kalman_x.dtype
         Q = jnp.asarray(_Q, dt)
         R = jnp.asarray(_R, dt)
-        F = jnp.asarray(_F, dt)
+        F = jnp.asarray(_F if dt_step == DT else _transition(dt_step), dt)
 
         x = kalman_x.at[:3].add(scan_pose)
-        lam = ALPHA * ALPHA * (L + KI) - L
+        lam = alpha * alpha * (L + kappa) - L
         c = L + lam
         Wm = jnp.full((2 * L + 1,), 0.5 / c, dt)
         Wm = Wm.at[0].set(lam / c)
-        Wc = Wm.at[0].add(1 - ALPHA * ALPHA + BETA)
+        Wc = Wm.at[0].add(1 - alpha * alpha + beta)
         sc = math.sqrt(c) if isinstance(c, float) else jnp.sqrt(c)
 
         A = sc * _cholesky_unrolled(kalman_P).T

@@ -180,8 +180,11 @@ def line_segment_detector(map_gray: jnp.ndarray, sca: float = 0.3,
                                       rec3["x2"], rec3["y2"]])
                 n = s["n_lines"]
                 slot = jnp.minimum(n, max_lines - 1)
+                write = accept & (n < max_lines)
                 lines = jnp.where(
-                    accept, s["lines"].at[slot].set(ends), s["lines"])
+                    write, s["lines"].at[slot].set(ends), s["lines"])
+                # count keeps growing past the cap so callers can
+                # detect overflow (n_lines > max_lines)
                 n = jnp.where(accept, n + 1, n)
                 return used, lines, n
 
@@ -199,7 +202,7 @@ def line_segment_detector(map_gray: jnp.ndarray, sca: float = 0.3,
                     n_lines=n_lines)
 
     out = jax.lax.while_loop(cond, body, state)
-    n = jnp.minimum(out["n_lines"], max_lines)
+    n = out["n_lines"]          # RAW count: n > max_lines flags overflow
     mask = jnp.arange(max_lines) < n
     e = out["lines"]
     infos = geo.lines_info_from_endpoints(e[:, 0], e[:, 1], e[:, 2],

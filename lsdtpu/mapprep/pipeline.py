@@ -39,5 +39,9 @@ def prepare_map(map_value: np.ndarray, resol: float,
     lines, mask, n, _remapped = line_segment_detector(
         grid, sca=sca, sig=sig, ang_thre=ang_thre, den_thre=den_thre,
         pse_bin=pse_bin, max_lines=max_lines)
+    if int(n) > max_lines:
+        raise ValueError(
+            f"map produced {int(n)} lines > max_lines={max_lines}; "
+            "raise the cap")
     lines = np.asarray(lines)[np.asarray(mask)]
     return MapArtifacts(lines_info=lines, map_cache=np.asarray(cache))

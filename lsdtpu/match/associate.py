@@ -161,7 +161,7 @@ def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
     cache_flat = map_cache.reshape(-1)
 
     K = cand.ca.shape[0]
-    n_chunks = max(1, K // chunk)
+    n_chunks = -(-K // chunk) if K > chunk else 1
 
     def score_chunk(args):
         ca, sa, sx, sy, mx, my = args
@@ -186,8 +186,12 @@ def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
 
     args = (cand.ca, cand.sa, cand.sx, cand.sy, cand.mx, cand.my)
     if n_chunks > 1:
-        args = jax.tree.map(lambda a: a.reshape(n_chunks, -1), args)
-        scores = jax.lax.map(score_chunk, args).reshape(-1)
+        Kp = n_chunks * chunk
+        args = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((Kp - K,), a.dtype)]
+            ).reshape(n_chunks, chunk), args)
+        scores = jax.lax.map(score_chunk, args).reshape(-1)[:K]
     else:
         scores = score_chunk(args)
     return jnp.where(cand.mask, scores, jnp.inf)
@@ -211,7 +215,7 @@ def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
     cache_flat = cache_block.reshape(-1)
 
     K = cand.ca.shape[0]
-    n_chunks = max(1, K // chunk)
+    n_chunks = -(-K // chunk) if K > chunk else 1
 
     def part_chunk(args):
         ca, sa, sx, sy, mx, my = args
@@ -234,9 +238,13 @@ def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
 
     args = (cand.ca, cand.sa, cand.sx, cand.sy, cand.mx, cand.my)
     if n_chunks > 1:
-        args = jax.tree.map(lambda a: a.reshape(n_chunks, -1), args)
+        Kp = n_chunks * chunk
+        args = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((Kp - K,), a.dtype)]
+            ).reshape(n_chunks, chunk), args)
         sum_d, n_valid = jax.lax.map(part_chunk, args)
-        return sum_d.reshape(-1), n_valid.reshape(-1)
+        return sum_d.reshape(-1)[:K], n_valid.reshape(-1)[:K]
     return part_chunk(args)
 
 

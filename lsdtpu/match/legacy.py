@@ -137,9 +137,10 @@ def score_candidates_legacy(cand: Candidates, ranges, angles, valid, n,
 
     K = cand.pose.shape[0]
     nch = -(-K // chunk)
-    chunked = jax.tree.map(
-        lambda x: x[:nch * chunk].reshape(nch, chunk, *x.shape[1:]),
-        {"pose": cand.pose})
+    Kp = nch * chunk
+    pose_p = jnp.concatenate(
+        [cand.pose, jnp.zeros((Kp - K, 3), cand.pose.dtype)])
+    chunked = {"pose": pose_p.reshape(nch, chunk, 3)}
     scores = jax.lax.map(score_chunk, chunked).reshape(-1)[:K]
     return jnp.where(cand.mask, scores, jnp.inf)
 

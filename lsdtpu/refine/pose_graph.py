@@ -50,9 +50,21 @@ def _normal_system(meas, scores, scan_pose, odom_weight,
                                        max_meas_weight), 0.0)
 
     # unwrap measurement angles along the trajectory so the linear
-    # chain never spans a branch cut
-    ang = meas[:, 2]
-    dang = _wrap_deg(jnp.diff(jnp.where(ok, ang, 0.0)))
+    # chain never spans a branch cut.  Lost frames (NaN meas) are
+    # forward-filled with the last measured angle first: the diffs
+    # through a gap then telescope to wrap(next - prev), so a gap
+    # straddling +-180 does not tear, and a lost frame 0 cannot poison
+    # the cumsum with NaN (leading gap backfills from the first ok).
+    F_ = meas.shape[0]
+    idx = jnp.arange(F_)
+    last_ok = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(ok, idx, -1))
+    first_ok = jnp.min(jnp.where(ok, idx, F_))
+    src = jnp.where(last_ok >= 0, jnp.maximum(last_ok, 0),
+                    jnp.clip(first_ok, 0, F_ - 1))
+    any_ok = jnp.any(ok)
+    ang = jnp.where(any_ok, meas[jnp.clip(src, 0, F_ - 1), 2], 0.0)
+    dang = _wrap_deg(jnp.diff(ang))
     ang_unwrapped = jnp.concatenate([ang[:1],
                                      ang[0] + jnp.cumsum(dang)])
     m = meas.at[:, 2].set(jnp.where(ok, ang_unwrapped, 0.0))
@@ -79,7 +91,7 @@ def _normal_system(meas, scores, scan_pose, odom_weight,
 
 @functools.partial(jax.jit, static_argnames=())
 def refine_trajectory(meas, scores, scan_pose,
-                      odom_weight=jnp.asarray((4.0, 4.0, 4.0)),
+                      odom_weight=(4.0, 4.0, 4.0),
                       max_meas_weight: float = 100.0):
     """meas: (F, 3) FA measurements [x_px, y_px, ang_deg] (NaN where
     tracking lost); scores: (F,); scan_pose: (F, 3) odometry deltas in
@@ -190,7 +202,7 @@ def _thomas_var(D, Uu, R):
 @functools.partial(jax.jit, static_argnames=("n_segments",))
 def refine_trajectory_distributed(meas, scores, scan_pose,
                                   n_segments: int = 8,
-                                  odom_weight=jnp.asarray((4.0, 4.0, 4.0)),
+                                  odom_weight=(4.0, 4.0, 4.0),
                                   max_meas_weight: float = 100.0):
     """Segment-parallel exact solve of the same normal system.
 

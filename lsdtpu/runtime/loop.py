@@ -194,7 +194,11 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
     hmm_first = state.last_pose[0] == -1
 
     ukf_x, ukf_P = fukf.ukf_step(state.kalman_x, state.kalman_P,
-                                 scan_pose, pose_w)
+                                 scan_pose, pose_w,
+                                 alpha=cfg.filter.alpha,
+                                 beta=cfg.filter.beta,
+                                 kappa=cfg.filter.kappa,
+                                 dt_step=cfg.filter.dt)
     first_x = state.kalman_x.at[:3].set(pose_min)
 
     new_x = jnp.where(lost, jnp.asarray(fukf.RESET_X, dt),
@@ -215,13 +219,17 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
         kalman_x=new_x, kalman_P=new_P, last_pose=new_x[:3],
         ang_sum=state.ang_sum + ang_diff, ang_cnt=state.ang_cnt + 1,
         is_offset=is_offset, frame=frame)
+    overflow = (cand.count > cand.mask.shape[0]) | fs.overflow
+    if tp_axis is not None:
+        # candidate counts are per map-line shard; overflow anywhere
+        # must be visible everywhere (out_specs replicate over tp)
+        overflow = jax.lax.pmax(overflow.astype(jnp.int32), tp_axis) > 0
     outputs = {
         "pose": new_x[:3],
         "score": out_score,
         "n_candidates": n_acc,
         "n_scan_lines": jnp.sum(fs.lines_mask),
-        "candidate_overflow": (cand.count > cand.mask.shape[0]) |
-                              fs.overflow,
+        "candidate_overflow": overflow,
         # raw per-frame quantities for batch refinement (refine/):
         # the FA measurement (weighted-mean pose) and the rotated
         # odometry delta fed to the filter

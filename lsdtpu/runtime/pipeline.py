@@ -71,21 +71,31 @@ def run_sequence_pipelined(frames, ctx: MapContext, mesh: Mesh,
 
         def step(carry, inp):
             state, fs_prev = carry
-            fa, ma = inp
+            fa, ma, warmup = inp
             fs_t = jax.lax.cond(
                 rank == 0,
                 lambda: featurize_stage(_as_inputs(fa), ctx, cfg),
                 lambda: fs0)
             fs_send = jax.tree.map(
                 lambda x: jax.lax.ppermute(x, PP_AXIS, [(0, 1)]), fs_t)
+            # rank 1 matches frame s-1; the s=0 warm-up step must not
+            # advance the TrackState (frame counter / angRotate sums),
+            # or the is_offset frame-1 fix and theta averages diverge
+            # from the sequential rollout
             new_state, outs = jax.lax.cond(
                 rank == 1,
                 lambda: match_stage(state, fs_prev, _as_inputs(ma), ctx,
                                     cfg),
                 lambda: (state, outs0))
+            new_state = jax.tree.map(
+                lambda new, old: jnp.where(warmup, old, new), new_state,
+                state)
             return (new_state, fs_send), outs
 
-        _c, outs = jax.lax.scan(step, (state0, fs0), (feat_in, match_in))
+        F1 = feat_in["ranges"].shape[0]
+        warmups = jnp.arange(F1) == 0
+        _c, outs = jax.lax.scan(step, (state0, fs0),
+                                (feat_in, match_in, warmups))
         return jax.tree.map(lambda x: x[None], outs)   # (1, F+1, ...)
 
     fn = shard_map(device_fn, mesh=mesh, in_specs=(P(PP_AXIS),),

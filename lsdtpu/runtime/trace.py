@@ -101,9 +101,10 @@ class FrameLog:
         nlines = np.asarray(outs["n_scan_lines"])
         F = n_frames if n_frames is not None else poses.shape[0]
         for f in range(F):
+            sc = float(scores[f])
             rec = {"seq": seq, "frame": f + 1,
                    "pose": [float(v) for v in poses[f]],
-                   "score": float(scores[f]),
+                   "score": sc if np.isfinite(sc) else None,
                    "n_candidates": int(ncand[f]),
                    "n_scan_lines": int(nlines[f]),
                    "tracking": bool(np.isfinite(scores[f]))}

@@ -86,3 +86,42 @@ def test_ukf_matches_oracle():
                       jnp.asarray(meas))
     np.testing.assert_allclose(np.asarray(jx), ox, atol=1e-8)
     np.testing.assert_allclose(np.asarray(jP), oP, atol=1e-8)
+
+
+def test_non_multiple_candidate_caps_work(dataset_small, map_art):
+    """max_candidates values that are not chunk multiples must not
+    crash the chunked score paths (regression: reshape without pad)."""
+    import jax.numpy as jnp
+    from lsdtpu.match.associate import (generate_candidates,
+                                        score_candidates)
+    from lsdtpu.oracle import rdp as ordp
+    ds = dataset_small
+    fr = ds.frames[0]
+    fs = ordp.feature_scan(fr[:, 0].astype(np.float64),
+                           fr[:, 1].astype(np.float64), ds.param.resol,
+                           ds.param.ori_x, ds.param.ori_y)
+    S, M = 64, 256
+    sl = np.zeros((S, 10)); sl[:len(fs.lines_info)] = fs.lines_info
+    sm = np.zeros(S, bool); sm[:len(fs.lines_info)] = True
+    ml = np.zeros((M, 10)); ml[:len(map_art.lines_info)] = map_art.lines_info
+    mm = np.zeros(M, bool); mm[:len(map_art.lines_info)] = True
+    lp = jnp.asarray(np.floor(np.array(fs.lidar_pos) + 0.5))
+    last = jnp.asarray([-1.0, -1.0, 0.0])
+    base = None
+    for cap in (1000, 100, 520):
+        cand = generate_candidates(jnp.asarray(sl), jnp.asarray(sm),
+                                   jnp.asarray(ml), jnp.asarray(mm),
+                                   lp, last, max_candidates=cap)
+        ys, xs = np.nonzero(fs.line_im)
+        P = 2048
+        pix = np.zeros((P, 2), np.int32); pm = np.zeros(P, bool)
+        k = min(len(xs), P)
+        pix[:k, 0] = xs[:k]; pix[:k, 1] = ys[:k]; pm[:k] = True
+        sc = np.asarray(score_candidates(
+            cand, jnp.asarray(pix), jnp.asarray(pm),
+            jnp.asarray(map_art.map_cache)))
+        fin = np.sort(sc[np.isfinite(sc)])
+        if base is None and cap >= int(cand.count):
+            base = fin
+        elif cap >= int(cand.count):
+            np.testing.assert_allclose(fin, base, atol=1e-12)

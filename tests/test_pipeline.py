@@ -21,12 +21,5 @@ def test_pipelined_matches_sequential(dataset_small):
     mesh = make_mesh_pp()
     got = jax.tree.map(np.asarray,
                        run_sequence_pipelined(frames, ctx, mesh, DEFAULT))
-    # cond-gated stages compile with different fusion than the inline
-    # pipeline, so f64 rounding differs at ~1e-13 and the chaotic UKF
-    # chain amplifies it; structural outputs must be exact, poses close
-    np.testing.assert_array_equal(got["n_candidates"],
-                                  want["n_candidates"])
-    np.testing.assert_array_equal(got["n_scan_lines"],
-                                  want["n_scan_lines"])
-    np.testing.assert_allclose(got["pose"], want["pose"], atol=0.1)
-    np.testing.assert_allclose(got["score"], want["score"], atol=1e-3)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)

@@ -112,3 +112,24 @@ def test_distributed_solver_long_concatenated_sequence(dataset_small):
     got, _ = refine_trajectory_distributed(meas, scores, u, n_segments=8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-6)
+
+
+def test_refine_lost_first_frame_and_wrap_gap():
+    """A lost frame 0 must not NaN-poison the solve, and a lost gap
+    straddling +-180 deg must not tear the angle chain."""
+    truth, meas, scores, u = _synthetic(F=60, noise=0.2)
+    # angles crossing the branch cut during a lost gap
+    meas[:, 2] = np.linspace(160, 200, 60)           # wraps at 180
+    meas[:, 2] = ((meas[:, 2] + 180) % 360) - 180    # stored wrapped
+    u[:, 2] = np.diff(np.linspace(160, 200, 60), prepend=160)
+    u[0, 2] = 0
+    scores[0] = np.inf
+    meas[0] = np.nan
+    scores[25:35] = np.inf
+    meas[25:35] = np.nan
+    refined, _ = refine_trajectory(meas, scores, u)
+    refined = np.asarray(refined)
+    assert np.isfinite(refined).all()
+    # heading through the gap should progress smoothly across the cut
+    un = np.unwrap(np.deg2rad(refined[:, 2]))
+    assert np.abs(np.rad2deg(np.diff(un))).max() < 5.0
