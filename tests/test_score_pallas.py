@@ -54,3 +54,24 @@ def test_pallas_scores_match_xla(setup, f):
     fin = np.isfinite(want)
     np.testing.assert_array_equal(fin, np.isfinite(got))
     np.testing.assert_allclose(got[fin], want[fin], rtol=2e-6, atol=2e-6)
+
+
+def test_pallas_config_path_in_loop(dataset_small, setup):
+    """score_kernel='pallas' through localization_step (interpret mode
+    on CPU) stays within f32 rounding of the XLA path."""
+    import dataclasses
+    import jax
+    from lsdtpu.config import DEFAULT
+    from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
+    ds, art = setup
+    ctx = make_map_context(art.lines_info, art.map_cache, ds.param.resol,
+                           ds.param.ori_x, ds.param.ori_y,
+                           dtype=np.float32)
+    frames = stack_frames(ds, dtype=np.float32, max_frames=3)
+    cfgp = dataclasses.replace(
+        DEFAULT, match=dataclasses.replace(DEFAULT.match,
+                                           score_kernel="pallas"))
+    a = jax.tree.map(np.asarray, run_sequence(frames, ctx, DEFAULT))
+    b = jax.tree.map(np.asarray, run_sequence(frames, ctx, cfgp))
+    np.testing.assert_array_equal(a["n_candidates"], b["n_candidates"])
+    np.testing.assert_allclose(a["pose"], b["pose"], atol=0.2)
