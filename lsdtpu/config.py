@@ -61,8 +61,9 @@ class ShapeConfig:
     equivalent - the reference uses dynamic allocation everywhere).
 
     Caps were chosen from the maxima over the 21 bundled datasets with
-    headroom; exceeding a cap raises at trace/feed time rather than
-    silently truncating.
+    headroom; exceeding a cap is never silent - the per-frame outputs
+    flag it (candidate_overflow, which also covers scan line/pixel
+    caps) and mapprep raises if a map exceeds max_map_lines.
     """
 
     points_per_scan: int = 360     # lidar points per revolution (pointPerLoop)

@@ -57,7 +57,9 @@ def _legacy_step(ranges, angles, valid, n, ctx, cfg,
     pose, best = mlegacy.first_min_pose(cand, scores)
     world = mlegacy.pixel_to_world(pose, ctx.resol, ctx.ori_x, ctx.ori_y)
     return {"pose": pose, "pose_world": world, "score": best,
-            "n_candidates": jnp.sum(jnp.isfinite(scores))}
+            "n_candidates": jnp.sum(jnp.isfinite(scores)),
+            "candidate_overflow": (cand.count > cand.mask.shape[0]) |
+                                  fs.overflow}
 
 
 class OnlineLocalizer:
