@@ -20,6 +20,22 @@ tileable.  `score_candidates_pallas` is a drop-in for
 associate.score_candidates (same masking/penalty semantics, same
 results to f32 rounding); `interpret=True` runs the kernel on CPU for
 tests.
+
+REAL-CHIP STATUS (probed 2026-08-18, v5e via axon, jax 0.9.0): the
+kernel does NOT lower on actual TPU hardware.  Its cache lookup is an
+arbitrary-index gather (flat `jnp.take` into the VMEM-resident field),
+and Mosaic only lowers `lax.gather` in the two `take_along_axis`
+batched forms (jax/_src/pallas/mosaic/lowering.py:2465-2525); probing
+on-chip: flat take -> "Only 2D gather is supported";
+take_along_axis(axis=0) -> backend compiler crash; axis=1 (within-
+sublane 128-lane table) -> OK but cannot express a random (row, col)
+lookup into a map-sized field without a cross-sublane shuffle (itself
+a gather).  One-hot-matmul or per-pixel scalar-loop reformulations are
+orders of magnitude slower than XLA's native gather instruction, which
+the default `score_kernel="xla"` path already uses, so on TPU the
+runtime silently routes "pallas" to the XLA path (runtime/loop.py) and
+this kernel remains an interpret-mode-validated blueprint for a future
+Mosaic with general gather.  See scripts/probe_pallas_tpu.py.
 """
 
 from __future__ import annotations

@@ -170,7 +170,13 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
             cand, sum_d, n_valid, n_all,
             max_dist_penalty=cfg.match.max_dist_penalty,
             valid_ratio=cfg.match.valid_ratio)
-    elif cfg.match.score_kernel == "pallas":
+    elif (cfg.match.score_kernel == "pallas"
+          and jax.default_backend() != "tpu"):
+        # Interpret-mode only: Mosaic cannot lower the kernel's
+        # arbitrary-index cache gather on real TPU (probed 2026-08-18 on
+        # v5e, jax 0.9.0 - see scripts/probe_pallas_tpu.py).  On TPU the
+        # XLA path below is used instead (native gather instruction);
+        # the `else` branch handles that fallthrough.
         from lsdtpu.ops.score_pallas import score_candidates_pallas
         scores = score_candidates_pallas(
             cand, fs.pixels, fs.pixels_mask, ctx.cache,
@@ -178,7 +184,7 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
             z_occ_max_dis=cfg.map.z_occ_max_dis,
             max_dist_penalty=cfg.match.max_dist_penalty,
             valid_ratio=cfg.match.valid_ratio,
-            interpret=jax.default_backend() != "tpu")
+            interpret=True)
     else:
         scores = assoc.score_candidates(
             cand, fs.pixels, fs.pixels_mask, ctx.cache,
