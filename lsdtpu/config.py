@@ -44,7 +44,9 @@ class MatchConfig:
     valid_ratio: float = 0.7          # CalcScore validity gate (myFA.cpp:389)
     max_dist_penalty: float = 10.0    # per-pixel cap penalty (myFA.cpp:381)
     # scoring backend: "xla" (fused transform+gather, default) or
-    # "pallas" (ops/score_pallas.py - cache resident in VMEM)
+    # "pallas" (ops/score_pallas.py - cache resident in VMEM; lowers in
+    # interpret mode only, so on real TPU it falls back to "xla" - see
+    # the kernel docstring and runtime/loop.py)
     score_kernel: str = "xla"
 
 
