@@ -29,6 +29,12 @@ def _add_common(p):
                    metavar="PATH=VALUE", dest="overrides",
                    help="config override, e.g. --set match.score_accept=2.5"
                         " --set faithful=false")
+    p.add_argument("--viz", default=None, metavar="DIR",
+                   help="dump run images (map+lines, mapCache, trajectory,"
+                        " per-frame scan windows) - the reference's OpenCV"
+                        " displays, main_on_windows.cpp:175-178")
+    p.add_argument("--viz-frames", type=int, default=3,
+                   help="number of per-frame scan images to dump")
 
 
 def apply_overrides(cfg, pairs):
@@ -100,6 +106,22 @@ def cmd_run(args) -> int:
                                   ds.param.ori_y)
         summary["ate_rmse_m"] = round(a.rmse, 4)
         summary["ate_max_m"] = round(a.max, 4)
+    if getattr(args, "viz", None):
+        from lsdtpu import viz
+        from lsdtpu.runtime.loop import featurize_stage
+
+        fs_dump = []
+        for f in range(min(args.viz_frames, F)):
+            fr = jax.tree.map(lambda x, f=f: x[f], frames)
+            fs = featurize_stage((fr["ranges"], fr["angles"], fr["valid"],
+                                  fr["n"], fr["odom_prev"], fr["odom_cur"]),
+                                 ctx, cfg)
+            fs_dump.append((f + 1, jax.tree.map(np.asarray, fs)))
+        paths = viz.dump_run(
+            args.viz, ds.map_value, lines, cache, outs, ds.param.resol,
+            ds.param.ori_x, ds.param.ori_y, real_pos=ds.real_pos,
+            scan_features=fs_dump, z_occ_max_dis=cfg.map.z_occ_max_dis)
+        summary["viz"] = paths
     print(json.dumps(summary), file=sys.stderr)
     return 0
 
