@@ -37,6 +37,40 @@ def _step(state, frame_inputs, ctx, cfg):
     return localization_step(state, frame_inputs, ctx, cfg)
 
 
+def occupancy_grid_to_map_value(data, width: int, height: int) -> np.ndarray:
+    """ROS OccupancyGrid payload -> dataset-convention map values.
+
+    The reference's mapCallback reads the int8 grid bytes as unsigned and
+    remaps 255 (int8 -1, unknown) -> 0, 0 (free) -> 255, anything else
+    (occupancy percentage, e.g. 100) -> 1 = occupied
+    (LSD/main_on_linux.cpp:108-124).
+    """
+    d = np.asarray(data).astype(np.int16).astype(np.uint8)
+    d = d.reshape(int(height), int(width))
+    out = np.ones_like(d)
+    out[d == 255] = 0
+    out[d == 0] = 255
+    return out
+
+
+def laser_scan_to_polar(ranges, angle_min: float, angle_increment: float):
+    """ROS LaserScan -> compacted (ranges, angles) with INF dropped.
+
+    The reference's laserCallback drops INF readings and reconstructs
+    angles incrementally (LSD/main_on_linux.cpp:48-64).  Note its
+    compaction is buggy: valid points are stored at their ORIGINAL index
+    i while only the first len_lp entries are consumed, so interleaved
+    INFs make it read stale points from the previous frame.  We compact
+    properly (the Windows file driver's behavior,
+    main_on_windows.cpp:110-124).
+    """
+    r = np.asarray(ranges, np.float64)
+    ang = angle_min + np.arange(r.shape[0], dtype=np.float64) \
+        * angle_increment
+    keep = np.isfinite(r)
+    return r[keep], ang[keep]
+
+
 @partial(jax.jit, static_argnames=("cfg", "z_occ_max_dis"))
 def _legacy_step(ranges, angles, valid, n, ctx, cfg,
                  z_occ_max_dis: float = 2.0):
@@ -100,6 +134,26 @@ class OnlineLocalizer:
         self.set_map_artifacts(art.lines_info, art.map_cache, resol,
                                ori_x, ori_y)
         return len(art.lines_info)
+
+    def set_map_occupancy_grid(self, data, width: int, height: int,
+                               resol: float, ori_x: float,
+                               ori_y: float) -> int:
+        """mapCallback over a ROS-shaped OccupancyGrid payload: converts
+        the int8 grid (main_on_linux.cpp:108-124) and builds artifacts.
+        Returns #lines."""
+        return self.set_map(occupancy_grid_to_map_value(data, width,
+                                                        height),
+                            resol, ori_x, ori_y)
+
+    def push_laser_scan(self, ranges, angle_min: float,
+                        angle_increment: float,
+                        odom: Optional[np.ndarray] = None) -> dict:
+        """laserCallback over a ROS-shaped LaserScan: INF readings are
+        dropped, angles reconstructed incrementally
+        (main_on_linux.cpp:48-64)."""
+        r, a = laser_scan_to_polar(ranges, angle_min, angle_increment)
+        return self.push_scan(r.astype(self.dtype), a.astype(self.dtype),
+                              odom)
 
     def set_map_artifacts(self, lines_info: np.ndarray,
                           map_cache: np.ndarray, resol: float,

@@ -63,6 +63,43 @@ def test_online_legacy_mode(dataset_small):
     np.testing.assert_allclose(out["pose"], pose_o, atol=1e-9)
 
 
+def test_occupancy_grid_conversion():
+    from lsdtpu.runtime.online import occupancy_grid_to_map_value
+    # int8 payload: -1 unknown, 0 free, 100 occupied
+    data = np.array([-1, 0, 100, 42], np.int8)
+    m = occupancy_grid_to_map_value(data, width=2, height=2)
+    np.testing.assert_array_equal(m, [[0, 255], [1, 1]])
+    assert m.dtype == np.uint8
+
+
+def test_laser_scan_adapter_matches_push_scan(dataset_small, map_art):
+    from lsdtpu.runtime.online import laser_scan_to_polar
+    ds = dataset_small
+    fr = ds.frames[0]
+    # ROS-shaped scan: recorded ranges on a uniform angle grid with
+    # INF readings interleaved (dropped by the adapter)
+    n = fr.shape[0]
+    angle_min, inc = float(fr[0, 1]), 2.0 * np.pi / (n + 4)
+    ranges = np.full(n + 4, np.inf)
+    keep = np.ones(n + 4, bool)
+    keep[[5, 17, n, n + 3]] = False
+    ranges[keep] = fr[: keep.sum(), 0]
+    r, a = laser_scan_to_polar(ranges, angle_min, inc)
+    assert r.shape == (keep.sum(),)
+    np.testing.assert_allclose(
+        a, angle_min + np.flatnonzero(keep) * inc, atol=1e-12)
+
+    loc1 = OnlineLocalizer(dtype=np.float64)
+    loc1.set_map_artifacts(map_art.lines_info, map_art.map_cache,
+                           ds.param.resol, ds.param.ori_x, ds.param.ori_y)
+    out1 = loc1.push_laser_scan(ranges, angle_min, inc, ds.odom[1])
+    loc2 = OnlineLocalizer(dtype=np.float64)
+    loc2.set_map_artifacts(map_art.lines_info, map_art.map_cache,
+                           ds.param.resol, ds.param.ori_x, ds.param.ori_y)
+    out2 = loc2.push_scan(r, a, ds.odom[1])
+    np.testing.assert_allclose(out1["pose"], out2["pose"], atol=1e-9)
+
+
 def test_checkpoint_resume_mid_sequence(dataset_small, map_art, tmp_path):
     ds = dataset_small
     NF, CUT = 12, 5
