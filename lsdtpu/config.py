@@ -48,6 +48,10 @@ class MatchConfig:
     # interpret mode only, so on real TPU it falls back to "xla" - see
     # the kernel docstring and runtime/loop.py)
     score_kernel: str = "xla"
+    # score only ceil(live_count/chunk) candidate chunks per frame
+    # (bounded fori_loop; bitwise-identical - skipped chunks are fully
+    # masked).  Disable to force the full static K-cap sweep.
+    score_dynamic_chunks: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

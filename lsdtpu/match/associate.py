@@ -136,7 +136,8 @@ def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
                      z_occ_max_dis: float = 1.0,
                      max_dist_penalty: float = 10.0,
                      valid_ratio: float = 0.7,
-                     chunk: int = 256) -> jnp.ndarray:
+                     chunk: int = 256,
+                     dynamic_chunks: bool = True) -> jnp.ndarray:
     """Score every candidate against the mapCache prior
     (reference: CalcScore, myFA.cpp:357-396).
 
@@ -145,9 +146,15 @@ def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
     pass explicitly when the cache is padded to a common batch canvas.
     Returns (K,) scores (inf where gated/invalid).
 
-    The (K, P) transform+gather+reduce is evaluated in K-chunks via
-    lax.map so the intermediate stays small; XLA fuses the rigid
-    transform and penalty math into the gather consumer.
+    The (K, P) transform+gather+reduce is evaluated in K-chunks so the
+    intermediate stays small; XLA fuses the rigid transform and penalty
+    math into the gather consumer.  With ``dynamic_chunks`` (default)
+    only ceil(count/chunk) chunks execute per frame - a bounded
+    fori_loop whose trip count follows the LIVE candidate count, so a
+    tracking frame (tens of survivors) does ~1 chunk of work instead of
+    the full K cap, with bitwise-identical results (every live
+    candidate is inside the looped prefix; the rest are masked to inf
+    either way).
     """
     pad_rows, pad_cols = map_cache.shape
     if rows is None:
@@ -191,7 +198,19 @@ def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
             lambda a: jnp.concatenate(
                 [a, jnp.zeros((Kp - K,), a.dtype)]
             ).reshape(n_chunks, chunk), args)
-        scores = jax.lax.map(score_chunk, args).reshape(-1)[:K]
+        if dynamic_chunks:
+            n_live = jnp.clip(cand.count, 0, K)
+            live_chunks = (n_live + chunk - 1) // chunk
+
+            def body(i, buf):
+                s = score_chunk(jax.tree.map(lambda a: a[i], args))
+                return jax.lax.dynamic_update_slice_in_dim(
+                    buf, s, i * chunk, 0)
+
+            buf = jnp.full((Kp,), jnp.inf, dt)
+            scores = jax.lax.fori_loop(0, live_chunks, body, buf)[:K]
+        else:
+            scores = jax.lax.map(score_chunk, args).reshape(-1)[:K]
     else:
         scores = score_chunk(args)
     return jnp.where(cand.mask, scores, jnp.inf)
@@ -201,7 +220,8 @@ def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
                              cache_block, row0, rows, cols,
                              z_occ_max_dis: float = 1.0,
                              max_dist_penalty: float = 10.0,
-                             chunk: int = 256):
+                             chunk: int = 256,
+                             dynamic_chunks: bool = True):
     """Map-block-sharded partial scoring: this device owns cache rows
     [row0, row0 + block_h) of the global field.  Returns per-candidate
     (sum_d, n_valid) partial sums - plain additive reductions over the
@@ -243,8 +263,28 @@ def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
             lambda a: jnp.concatenate(
                 [a, jnp.zeros((Kp - K,), a.dtype)]
             ).reshape(n_chunks, chunk), args)
-        sum_d, n_valid = jax.lax.map(part_chunk, args)
-        return sum_d.reshape(-1)[:K], n_valid.reshape(-1)[:K]
+        if dynamic_chunks:
+            # skipped chunks hold only masked candidates; (0, 0)
+            # partials keep the psum reduction exact (finalize_scores
+            # masks them to inf regardless)
+            n_live = jnp.clip(cand.count, 0, K)
+            live_chunks = (n_live + chunk - 1) // chunk
+
+            def body(i, bufs):
+                sd, nv = part_chunk(jax.tree.map(lambda a: a[i], args))
+                return (jax.lax.dynamic_update_slice_in_dim(
+                            bufs[0], sd, i * chunk, 0),
+                        jax.lax.dynamic_update_slice_in_dim(
+                            bufs[1], nv, i * chunk, 0))
+
+            zeros = jnp.zeros((Kp,), dt)
+            sum_d, n_valid = jax.lax.fori_loop(0, live_chunks, body,
+                                               (zeros, zeros))
+        else:
+            sum_d, n_valid = jax.lax.map(part_chunk, args)
+            sum_d = sum_d.reshape(-1)
+            n_valid = n_valid.reshape(-1)
+        return sum_d[:K], n_valid[:K]
     return part_chunk(args)
 
 

@@ -162,7 +162,8 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
             cand, fs.pixels, fs.pixels_mask, ctx.cache, row0,
             ctx.rows, ctx.cols,
             z_occ_max_dis=cfg.map.z_occ_max_dis,
-            max_dist_penalty=cfg.match.max_dist_penalty)
+            max_dist_penalty=cfg.match.max_dist_penalty,
+            dynamic_chunks=cfg.match.score_dynamic_chunks)
         sum_d = jax.lax.psum(sum_d, mp_axis)
         n_valid = jax.lax.psum(n_valid, mp_axis)
         n_all = jnp.sum(fs.pixels_mask).astype(dt)
@@ -191,7 +192,8 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
             rows=ctx.rows, cols=ctx.cols,
             z_occ_max_dis=cfg.map.z_occ_max_dis,
             max_dist_penalty=cfg.match.max_dist_penalty,
-            valid_ratio=cfg.match.valid_ratio)
+            valid_ratio=cfg.match.valid_ratio,
+            dynamic_chunks=cfg.match.score_dynamic_chunks)
     pose_w, fused_score, pose_min, min_score, n_acc = assoc.fuse(
         cand, scores, cfg.match.score_accept, axis_name=tp_axis)
 

@@ -74,6 +74,57 @@ def test_candidates_and_scores_match_oracle(dataset_small, map_art, fi,
         np.testing.assert_allclose(float(fscore), est.score, atol=1e-9)
 
 
+@pytest.mark.parametrize("fi,last_pose", [
+    (0, (-1.0, -1.0, 0.0)),          # relocalization: ~1000 candidates
+    (5, (280.0, 220.0, -5.0)),       # tracking: tens of candidates
+])
+def test_dynamic_chunks_bitwise_equals_static(dataset_small, map_art, fi,
+                                              last_pose):
+    """The live-count fori_loop scorer must equal the full static sweep
+    bitwise (skipped chunks are entirely masked)."""
+    from lsdtpu.match.associate import score_candidates_partial
+
+    ds = dataset_small
+    fs = _features(ds, fi)
+    sl, sm = _pad_lines(fs.lines_info, 64)
+    ml, mm = _pad_lines(map_art.lines_info, 256)
+    pix = np.zeros((2048, 2), np.int32)
+    pmask = np.zeros(2048, bool)
+    pix[:len(fs.scan_im_point)] = fs.scan_im_point
+    pmask[:len(fs.scan_im_point)] = True
+    lidar = (round(fs.lidar_pos[0]), round(fs.lidar_pos[1]))
+    cand = generate_candidates(sl, sm, ml, mm,
+                               jnp.asarray(lidar, jnp.float64),
+                               jnp.asarray(last_pose, jnp.float64), 4096)
+    cache = jnp.asarray(map_art.map_cache)
+    s_dyn = np.asarray(score_candidates(cand, jnp.asarray(pix),
+                                        jnp.asarray(pmask), cache,
+                                        dynamic_chunks=True))
+    s_sta = np.asarray(score_candidates(cand, jnp.asarray(pix),
+                                        jnp.asarray(pmask), cache,
+                                        dynamic_chunks=False))
+    np.testing.assert_array_equal(s_dyn, s_sta)
+
+    # partials: identical on the live prefix (masked tail rows differ -
+    # static computes garbage there, dynamic leaves zeros - but
+    # finalize_scores masks both to inf)
+    from lsdtpu.match.associate import finalize_scores
+    H = map_art.map_cache.shape[0]
+    n_all = jnp.sum(jnp.asarray(pmask)).astype(jnp.float64)
+    res = {}
+    for dyn in (True, False):
+        sd, nv = score_candidates_partial(
+            cand, jnp.asarray(pix), jnp.asarray(pmask), cache,
+            row0=0, rows=H, cols=map_art.map_cache.shape[1],
+            dynamic_chunks=dyn)
+        res[dyn] = (np.asarray(sd), np.asarray(nv),
+                    np.asarray(finalize_scores(cand, sd, nv, n_all)))
+    live = int(np.asarray(cand.count))
+    np.testing.assert_array_equal(res[True][0][:live], res[False][0][:live])
+    np.testing.assert_array_equal(res[True][1][:live], res[False][1][:live])
+    np.testing.assert_array_equal(res[True][2], res[False][2])
+
+
 def test_ukf_matches_oracle():
     rng = np.random.default_rng(7)
     x = rng.normal(size=9)
