@@ -251,6 +251,62 @@ def cmd_batch(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Fleet replay through the multi-session serving pool: one robot
+    per dataset, every tick = ONE batched device call for all robots."""
+    import numpy as np
+    from lsdtpu.eval import ate as eval_ate
+    from lsdtpu.io import load_dataset
+    from lsdtpu.runtime.artifacts import prepare_map_cached
+    from lsdtpu.runtime.serving import SessionPool
+
+    dss = [load_dataset(p) for p in args.data]
+    arts = [prepare_map_cached(d.map_value, d.param.resol,
+                               backend=args.mapprep) for d in dss]
+    H = max(a[1].shape[0] for a in arts)
+    W = max(a[1].shape[1] for a in arts)
+    pool = SessionPool(capacity=len(dss), canvas_hw=(H, W))
+    for i, (ds, (lines, cache)) in enumerate(zip(dss, arts)):
+        pool.open_session(f"robot{i}", lines, cache, ds.param.resol,
+                          ds.param.ori_x, ds.param.ori_y)
+    F = max(len(ds.frames) for ds in dss)
+    if args.frames is not None:
+        F = min(F, args.frames)
+    poses = [[] for _ in dss]
+    scores = [[] for _ in dss]
+    n_scans = 0
+    t0 = time.perf_counter()
+    for f in range(F):
+        for i, ds in enumerate(dss):
+            if f < len(ds.frames):
+                fr = ds.frames[f]
+                pool.submit_scan(f"robot{i}", fr[:, 0], fr[:, 1],
+                                 ds.odom[f + 1])
+                n_scans += 1
+        res = pool.step()
+        for i in range(len(dss)):
+            out = res.get(f"robot{i}")
+            if out is not None:
+                poses[i].append(out["pose"])
+                scores[i].append(float(out["score"]))
+    dt = time.perf_counter() - t0
+    for i, ds in enumerate(dss):
+        rec = {"robot": i, "seq": args.data[i], "frames": len(poses[i]),
+               "tracked": int(np.isfinite(scores[i]).sum())}
+        if ds.real_pos is not None and poses[i]:
+            a = eval_ate.keyframe_ate(
+                np.stack(poses[i]), ds.real_pos, ds.recorded_odom,
+                ds.param.resol, ds.param.ori_x, ds.param.ori_y)
+            if np.isfinite(a.rmse):
+                rec["ate_rmse_m"] = round(a.rmse, 4)
+        print(json.dumps(rec))
+    print(json.dumps({"robots": len(dss), "ticks": F,
+                      "total_scans": n_scans, "wall_s": round(dt, 2),
+                      "scans_per_sec": round(n_scans / dt, 1)}),
+          file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="lsdtpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -280,6 +336,14 @@ def main(argv=None) -> int:
     p.add_argument("--data", nargs="+", required=True)
     p.add_argument("--mapprep", choices=("tpu", "oracle"), default="tpu")
     p.set_defaults(fn=cmd_batch)
+
+    p = sub.add_parser("serve", help="robot-fleet replay through the "
+                                     "multi-session serving pool")
+    p.add_argument("--data", nargs="+", required=True,
+                   help="one dataset directory per robot")
+    p.add_argument("--mapprep", choices=("tpu", "oracle"), default="tpu")
+    p.add_argument("--frames", type=int, default=None)
+    p.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -72,3 +72,19 @@ def test_pool_join_leave_and_capacity(dataset_small, map_art):
     np.testing.assert_allclose(res["c"]["pose"], want, atol=1e-9)
     # idle session "b" was untouched this tick
     assert "b" not in res
+
+
+def test_serve_cli_fleet_replay(data_root, capsys):
+    """lsdtpu serve: 2-robot fleet replay driver end-to-end."""
+    import json
+    from lsdtpu.cli import main
+    d = data_root + "/data_20190513/data_f3key/data4"
+    rc = main(["serve", "--data", d, d, "--mapprep", "oracle",
+               "--frames", "6"])
+    assert rc == 0
+    recs = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert len(recs) == 2
+    for i, rec in enumerate(recs):
+        assert rec["robot"] == i
+        assert rec["frames"] == 6 and rec["tracked"] == 6
