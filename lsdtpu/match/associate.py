@@ -121,14 +121,24 @@ def generate_candidates(scan_lines, scan_mask, map_lines, map_mask,
     gate_hmm = first | (d2 < max_esti_dist * max_esti_dist)
     gate = gate_len[:, :, None] & gate_hmm
 
-    feat = jnp.stack([ca, sa, sx, sy, mx, my, rlx, rly,
-                      geo.wrap_deg(ang_diff)], -1).reshape(S * M * 4, 9)
-    comp, mask, count = geo.masked_compact(feat, gate.reshape(-1),
-                                           max_candidates)
+    # compact INDICES of the survivors, then gather the 9 features for
+    # just the K slots (scattering the full (S*M*4, 9) feature tensor
+    # costs ~9x more memory traffic).  Padded slots must be ZERO, not
+    # row 0's values: degenerate padded lines yield NaN directions, and
+    # a NaN pose row poisons the weighted-mean sum (0*NaN) even at
+    # weight 0 - seen on all-padding tp shards.
+    flat_idx = jnp.arange(S * M * 4, dtype=jnp.int32)
+    comp_idx, mask, count = geo.masked_compact(flat_idx, gate.reshape(-1),
+                                               max_candidates)
+    take = lambda a: jnp.where(mask, a.reshape(-1)[comp_idx],  # noqa: E731
+                               0.0)
+    ang_c = take(ang_diff)
     return Candidates(
-        ca=comp[:, 0], sa=comp[:, 1], sx=comp[:, 2], sy=comp[:, 3],
-        mx=comp[:, 4], my=comp[:, 5],
-        pose=comp[:, 6:9], mask=mask, count=count.astype(jnp.int32))
+        ca=take(ca), sa=take(sa), sx=take(sx), sy=take(sy),
+        mx=take(mx), my=take(my),
+        pose=jnp.stack([take(rlx), take(rly),
+                        jnp.where(mask, geo.wrap_deg(ang_c), 0.0)], -1),
+        mask=mask, count=count.astype(jnp.int32))
 
 
 def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
