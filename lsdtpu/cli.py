@@ -215,6 +215,12 @@ def cmd_refine(args) -> int:
                                       ds.recorded_odom, ds.param.resol,
                                       ds.param.ori_x, ds.param.ori_y)
             rec[f"ate_{name}_rmse_m"] = round(a.rmse, 4)
+    if getattr(args, "viz", None):
+        from lsdtpu import viz
+        rec["viz"] = viz.dump_run(
+            args.viz, ds.map_value, lines, cache, outs, ds.param.resol,
+            ds.param.ori_x, ds.param.ori_y, real_pos=ds.real_pos,
+            z_occ_max_dis=cfg.map.z_occ_max_dis, refined_px=refined)
     print(json.dumps(rec))
     return 0
 
