@@ -52,6 +52,15 @@ class MatchConfig:
     # (bounded fori_loop; bitwise-identical - skipped chunks are fully
     # masked).  Disable to force the full static K-cap sweep.
     score_dynamic_chunks: bool = True
+    # sub-pixel Gauss-Newton polish of the fused pose against the
+    # bilinear distance field (match/polish.py) - a capability beyond
+    # the reference (its measurement is quantized to the endpoint-
+    # alignment grid, myFA.cpp:159-171).  Off by default: parity runs
+    # must reproduce the reference's quantized measurement.  Ignored
+    # under map-block (mp) sharding, which has no full-field view.
+    polish_pose: bool = False
+    polish_iters: int = 4
+    polish_max_px: float = 4.0   # total displacement cap (HMM basin)
 
 
 @dataclasses.dataclass(frozen=True)

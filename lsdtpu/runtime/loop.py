@@ -29,6 +29,7 @@ from lsdtpu import geometry as geo
 from lsdtpu.config import EngineConfig, DEFAULT
 from lsdtpu.filter import ukf as fukf
 from lsdtpu.match import associate as assoc
+from lsdtpu.match import polish
 from lsdtpu.scan.featurize import featurize
 
 
@@ -196,6 +197,19 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
             dynamic_chunks=cfg.match.score_dynamic_chunks)
     pose_w, fused_score, pose_min, min_score, n_acc = assoc.fuse(
         cand, scores, cfg.match.score_accept, axis_name=tp_axis)
+    if cfg.match.polish_pose and mp_axis is None:
+        # sub-pixel Gauss-Newton polish of both measurement paths
+        # (tracking weighted mean + first-frame argmin) against the
+        # bilinear distance field; deterministic under tp sharding
+        # (pose/pixels/cache are replicated over tp after fuse's psum)
+        pose_w, _, _ = polish.polish_pose(
+            pose_w, lidar_pose, fs.pixels, fs.pixels_mask, ctx.cache,
+            rows=ctx.rows, cols=ctx.cols, iters=cfg.match.polish_iters,
+            max_total_px=cfg.match.polish_max_px)
+        pose_min, _, _ = polish.polish_pose(
+            pose_min, lidar_pose, fs.pixels, fs.pixels_mask, ctx.cache,
+            rows=ctx.rows, cols=ctx.cols, iters=cfg.match.polish_iters,
+            max_total_px=cfg.match.polish_max_px)
 
     # --- three-way outcome (myFA.cpp:69-175) ---
     lost = n_acc == 0
