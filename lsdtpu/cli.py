@@ -168,9 +168,22 @@ def cmd_prepare_map(args) -> int:
     lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
                                       z_occ_max_dis=cfg.map.z_occ_max_dis,
                                       backend=args.mapprep)
+    dumped = None
+    if getattr(args, "dump", None):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lsdtpu.io.refdump import dump_map_artifacts
+        from lsdtpu.render import render_line_image
+
+        line_im = np.asarray(render_line_image(
+            jnp.asarray(lines), jnp.ones(len(lines), bool),
+            ds.map_value.shape[0], ds.map_value.shape[1]))
+        dumped = dump_map_artifacts(args.dump, lines, cache, line_im)
     print(json.dumps({"lines": len(lines),
                       "cache_shape": list(cache.shape),
-                      "seconds": round(time.perf_counter() - t0, 2)}))
+                      "seconds": round(time.perf_counter() - t0, 2),
+                      **({"dumped": dumped} if dumped else {})}))
     return 0
 
 
@@ -327,6 +340,10 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("prepare-map", help="build + cache map artifacts")
     _add_common(p)
+    p.add_argument("--dump", default=None, metavar="DIR",
+                   help="also write the artifacts in the C++ reference's "
+                        "text formats (MaplinesInfo.txt, mapCache.txt, "
+                        "MaplineIm.txt) for interop")
     p.set_defaults(fn=cmd_prepare_map)
 
     p = sub.add_parser("refine", help="offline pose-graph smoothing")
