@@ -90,3 +90,30 @@ def test_mapblock_sharded_matches_single(batch_inputs, single_ref):
                                    atol=1e-9)
         np.testing.assert_array_equal(outs["n_candidates"][b],
                                       single_ref["n_candidates"])
+
+
+def test_tp_sharded_polish_matches_single(dataset_small, map_art,
+                                          batch_inputs):
+    """Pose polish under tp sharding: fuse's psum replicates the pose,
+    and pixels/cache are replicated over tp, so the polished rollout
+    must equal the single-device polished rollout exactly."""
+    import dataclasses
+
+    from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
+
+    cfg = dataclasses.replace(
+        DEFAULT, match=dataclasses.replace(DEFAULT.match, polish_pose=True))
+    ds = dataset_small
+    ctx = make_map_context(map_art.lines_info, map_art.map_cache,
+                           ds.param.resol, ds.param.ori_x, ds.param.ori_y,
+                           dtype=np.float64)
+    frames = stack_frames(ds, dtype=np.float64, max_frames=NF)
+    ref = jax.tree.map(np.asarray, run_sequence(frames, ctx, cfg))
+
+    bframes, ctxs, _lens = batch_inputs
+    mesh = make_mesh()  # (dp=2, tp=4)
+    outs = jax.tree.map(
+        np.asarray, run_batch_sharded(bframes, ctxs, mesh, cfg))
+    for b in range(2):
+        np.testing.assert_allclose(outs["pose"][b][:NF], ref["pose"],
+                                   atol=1e-9)
