@@ -66,6 +66,24 @@ def measure_baseline(ds, art, n_frames: int = 60) -> float:
 BEST = {"json": None}
 
 
+def device_healthy(timeout_s: float) -> bool:
+    """Probe the default JAX backend with a tiny device op in a
+    SUBPROCESS (the axon TPU tunnel can wedge: device calls then hang
+    forever and would take this process with them - CLAUDE.md).  A
+    hung/failed probe means the bench must not touch the device."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
+            "(x @ x).block_until_ready(); print('probe-ok')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True,
+                           text=True)
+        return r.returncode == 0 and "probe-ok" in r.stdout
+    except Exception:
+        return False
+
+
 def _arm_watchdog(seconds: float):
     """The axon TPU tunnel can wedge (observed: device calls hang
     indefinitely, sometimes mid-benchmark).  If the bench stalls, emit
@@ -94,6 +112,15 @@ def main():
 
     watchdog = _arm_watchdog(float(os.environ.get(
         "LSDTPU_BENCH_TIMEOUT", "420")))
+
+    probe_s = float(os.environ.get("LSDTPU_PROBE_TIMEOUT", "90"))
+    if not device_healthy(probe_s):
+        # wedged tunnel / no device: measure on the CPU backend instead
+        # of hanging into the watchdog's zero marker.  Logged loudly -
+        # the recorded number is then host-CPU, not TPU.
+        log(f"DEVICE PROBE FAILED ({probe_s:.0f}s) - "
+            "falling back to the CPU backend for this run")
+        jax.config.update("jax_platforms", "cpu")
 
     from lsdtpu.eval import ate as eval_ate
     from lsdtpu.io import load_dataset
