@@ -164,7 +164,8 @@ def main():
             "metric": "scans_per_sec",
             "value": round(F / min(times), 1),
             "unit": "scans/s",
-            "vs_baseline": round(F / min(times) / baseline, 2)})
+            "vs_baseline": round(F / min(times) / baseline, 2),
+            "backend": jax.default_backend()})
         log(f"  repeat: {times[-1] * 1e3:.2f} ms")
     best = min(times)
     scans_per_sec = F / best
@@ -185,6 +186,9 @@ def main():
         "value": round(scans_per_sec, 1),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_sec / baseline, 2),
+        # machine-readable record of WHICH backend produced the number
+        # (the probe above may have rerouted a wedged TPU run to CPU)
+        "backend": jax.default_backend(),
     }))
 
 

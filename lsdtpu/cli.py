@@ -176,9 +176,10 @@ def cmd_prepare_map(args) -> int:
         from lsdtpu.io.refdump import dump_map_artifacts
         from lsdtpu.render import render_line_image
 
+        rows_, cols_ = ds.map_value.shape
         line_im = np.asarray(render_line_image(
-            jnp.asarray(lines), jnp.ones(len(lines), bool),
-            ds.map_value.shape[0], ds.map_value.shape[1]))
+            jnp.asarray(lines), jnp.ones(len(lines), bool), rows_, cols_,
+            max_steps=max(rows_, cols_)))  # never truncate long wall lines
         dumped = dump_map_artifacts(args.dump, lines, cache, line_im)
     print(json.dumps({"lines": len(lines),
                       "cache_shape": list(cache.shape),

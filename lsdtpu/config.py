@@ -56,7 +56,7 @@ class MatchConfig:
     # bilinear distance field (match/polish.py) - a capability beyond
     # the reference (its measurement is quantized to the endpoint-
     # alignment grid, myFA.cpp:159-171).  Off by default: parity runs
-    # must reproduce the reference's quantized measurement.  Ignored
+    # must reproduce the reference's quantized measurement.  Raises
     # under map-block (mp) sharding, which has no full-field view.
     polish_pose: bool = False
     polish_iters: int = 4

@@ -47,12 +47,12 @@ def save_line_im(path: str, line_im: np.ndarray,
     display path - see tests/test_render.py); `one_based_shift` applies
     the same convention so the output is comparable byte-for-byte with
     the golden dumps."""
-    img = np.asarray(line_im)
+    img = (np.asarray(line_im) > 0).astype(np.int64)   # dump format is 0/1
     if one_based_shift:
         shifted = np.zeros_like(img)
         shifted[:-1, :-1] = img[1:, 1:]
         img = shifted
-    save_grid(path, img.astype(np.int64), "%d")
+    save_grid(path, img, "%d")
 
 
 def save_map_cache(path: str, cache: np.ndarray) -> None:

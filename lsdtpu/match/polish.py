@@ -4,8 +4,9 @@ A capability the reference lacks: its pose measurement is a weighted
 mean over endpoint-alignment hypotheses (LSD/myFA.cpp:159-171), so it
 is quantized to the discrete (scan endpoint, map endpoint) alignment
 grid.  This module runs a few damped Gauss-Newton iterations on the
-fused lidar pose, minimizing the mean *bilinearly interpolated*
-mapCache distance over the transformed scan pixel cloud - the
+fused lidar pose, descending the squared *bilinearly interpolated*
+mapCache distance over the transformed scan pixel cloud (steps are
+accepted on a CalcScore-style penalized mean, see polish_pose) - the
 likelihood-field scan matcher of Probabilistic Robotics ch. 6.4 /
 Hector SLAM, expressed as fixed-shape masked tensor math so the whole
 polish jits into the per-frame step.
@@ -87,7 +88,8 @@ def _solve3(H, g):
 def polish_pose(pose, lidar_pose, pixels, pixels_mask, cache,
                 rows=None, cols=None, iters: int = 4,
                 max_step_px: float = 1.5, max_step_deg: float = 1.0,
-                max_total_px: float = 4.0, damping: float = 1e-2):
+                max_total_px: float = 4.0, damping: float = 1e-2,
+                off_field_penalty: float = 10.0):
     """Gauss-Newton polish of a lidar pose against the distance field.
 
     pose: (3,) (x, y, theta_deg) in map pixel coords (the fused
@@ -95,12 +97,19 @@ def polish_pose(pose, lidar_pose, pixels, pixels_mask, cache,
     (P, 2) scan-local pixel coords with (P,) mask; cache: (H, W)
     distance field in meters.
 
-    Per-iteration steps are trust-region clipped; an iteration is only
-    accepted if it lowers the mean field distance, and the total
+    The GN step descends the sum of squared field distances; a step is
+    accepted only if it lowers the CalcScore-style penalized mean
+
+        (sum_inside D + off_field_penalty * n_off) / n_masked
+
+    so pushing badly-fitting pixels off the map (which the reference
+    scorer penalizes, myFA.cpp:381-389) can never look like progress.
+    Per-iteration steps are trust-region clipped and the total
     displacement is capped at `max_total_px` so the polish can never
     leave the HMM acceptance basin (myFA.cpp:330).  Returns
-    (polished_pose, mean_dist_before, mean_dist_after); a pose with no
-    in-field support (or NaN) is returned unchanged.
+    (polished_pose, cost_before, cost_after) with costs in that
+    penalized-mean metric; a pose with no in-field support (or NaN) is
+    returned unchanged.
     """
     pad_rows, pad_cols = cache.shape
     if rows is None:
@@ -113,6 +122,8 @@ def polish_pose(pose, lidar_pose, pixels, pixels_mask, cache,
     dyp = pixels[:, 1].astype(dt) - lidar_pose[1]
     rad = jnp.asarray(PI / 180.0, dt)
 
+    n_masked = jnp.maximum(jnp.sum(pixels_mask).astype(dt), 1.0)
+
     def cost_and_normal(p):
         th = p[2] * rad
         c = jnp.cos(th)
@@ -123,7 +134,10 @@ def polish_pose(pose, lidar_pose, pixels, pixels_mask, cache,
             cache_flat, pad_rows, pad_cols, rows, cols, tx, ty)
         w = (inside & pixels_mask).astype(dt)
         n = jnp.sum(w)
-        cost = jnp.sum(v * w) / jnp.maximum(n, 1.0)
+        # CalcScore-style penalized mean: off-field pixels cost the cap
+        # penalty so a step can't "improve" by shoving pixels off-map
+        cost = (jnp.sum(v * w) + off_field_penalty * (n_masked - n)) \
+            / n_masked
         # d p'/d theta (radians)
         jth = gx * (-s * dxp - c * dyp) + gy * (c * dxp - s * dyp)
         J = jnp.stack([gx, gy, jth], axis=-1) * w[:, None]   # (P, 3)
@@ -132,11 +146,12 @@ def polish_pose(pose, lidar_pose, pixels, pixels_mask, cache,
         g = J.T @ r
         return cost, H, g, n
 
-    cost0, _, _, n0 = cost_and_normal(pose)
+    cost0, H0, g0, n0 = cost_and_normal(pose)
 
     def body(_, carry):
-        best_pose, best_cost = carry
-        cost, H, g, n = cost_and_normal(best_pose)
+        # H/g belong to best_pose, so each iteration evaluates the
+        # field exactly once (at the trial pose)
+        best_pose, best_cost, H, g = carry
         lam = damping * (H[0, 0] + H[1, 1] + H[2, 2]) / 3.0 + 1e-12
         delta = -_solve3(H + lam * jnp.eye(3, dtype=dt), g)
         # trust region: clip translation and rotation per iteration
@@ -147,15 +162,17 @@ def polish_pose(pose, lidar_pose, pixels, pixels_mask, cache,
             [delta[0] * tscale, delta[1] * tscale, dth / rad])
         # total displacement guard (stay inside the HMM basin)
         disp = jnp.sqrt((cand[0] - pose[0]) ** 2 + (cand[1] - pose[1]) ** 2)
-        new_cost, _, _, new_n = cost_and_normal(cand)
+        new_cost, Hn, gn, new_n = cost_and_normal(cand)
         accept = (new_cost < best_cost) & (disp <= max_total_px) & \
             (new_n > 0) & jnp.all(jnp.isfinite(cand))
-        return (jnp.where(accept, cand, best_pose),
-                jnp.where(accept, new_cost, best_cost))
+        pick = lambda a, b: jnp.where(accept, a, b)  # noqa: E731
+        return (pick(cand, best_pose), pick(new_cost, best_cost),
+                pick(Hn, H), pick(gn, g))
 
     ok = (n0 > 0) & jnp.all(jnp.isfinite(pose))
     safe_pose = jnp.where(ok, pose, jnp.zeros(3, dt))
-    out_pose, out_cost = jax.lax.fori_loop(
-        0, iters, body, (safe_pose, jnp.where(ok, cost0, jnp.inf)))
+    out_pose, out_cost, _, _ = jax.lax.fori_loop(
+        0, iters, body,
+        (safe_pose, jnp.where(ok, cost0, jnp.inf), H0, g0))
     return (jnp.where(ok, out_pose, pose), cost0,
             jnp.where(ok, out_cost, cost0))

@@ -197,7 +197,12 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
             dynamic_chunks=cfg.match.score_dynamic_chunks)
     pose_w, fused_score, pose_min, min_score, n_acc = assoc.fuse(
         cand, scores, cfg.match.score_accept, axis_name=tp_axis)
-    if cfg.match.polish_pose and mp_axis is None:
+    if cfg.match.polish_pose and mp_axis is not None:
+        raise ValueError(
+            "match.polish_pose requires a full-field cache view and is "
+            "not supported under map-block (mp) sharding; disable the "
+            "polish or use a (dp, tp) mesh")
+    if cfg.match.polish_pose:
         # sub-pixel Gauss-Newton polish of both measurement paths
         # (tracking weighted mean + first-frame argmin) against the
         # bilinear distance field; deterministic under tp sharding

@@ -120,16 +120,65 @@ def test_polish_rollout_tracks_and_tightens(dataset_small, map_art):
     assert worse == 0
 
 
-def test_polish_off_is_default_bitwise(dataset_small, map_art):
+def test_polish_zero_iters_is_bitwise_passthrough(dataset_small, map_art):
+    """polish_pose=True with polish_iters=0 must reproduce the default
+    (polish off) rollout bit-for-bit: the polish wiring in match_stage
+    may not perturb the measurement path."""
     ds = dataset_small
     NF = 10
     ctx = make_map_context(map_art.lines_info, map_art.map_cache,
                            ds.param.resol, ds.param.ori_x, ds.param.ori_y,
                            dtype=np.float32)
     frames = stack_frames(ds, dtype=np.float32, max_frames=NF)
-    cfg_off = dataclasses.replace(
-        DEFAULT, match=dataclasses.replace(DEFAULT.match, polish_pose=False))
+    cfg_noop = dataclasses.replace(
+        DEFAULT, match=dataclasses.replace(DEFAULT.match, polish_pose=True,
+                                           polish_iters=0))
     a = run_sequence(frames, ctx, DEFAULT)
-    b = run_sequence(frames, ctx, cfg_off)
+    b = run_sequence(frames, ctx, cfg_noop)
     np.testing.assert_array_equal(np.asarray(a["pose"]),
                                   np.asarray(b["pose"]))
+    np.testing.assert_array_equal(np.asarray(a["measurement"]),
+                                  np.asarray(b["measurement"]))
+
+
+def test_polish_rejects_pushing_pixels_off_map():
+    """A candidate step that lowers the in-field mean only by shoving
+    badly-fitting pixels off the map must be rejected (CalcScore-style
+    off-field penalty in the acceptance cost)."""
+    res = 0.05
+    H, W = 32, 32
+    # field is high (capped) everywhere except a low-cost trench at the
+    # left edge: gradient points off-map at x<1
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    cache = jnp.asarray(np.clip(xx * res, 0, 1.0), jnp.float32)
+    P = 16
+    pix = np.zeros((P, 2), np.int32)
+    pix[:, 0] = 2                      # all pixels near the left edge
+    pix[:, 1] = np.arange(P)
+    pose = jnp.array([0.0, 0.0, 0.0], jnp.float32)
+    out, c0, c1 = polish.polish_pose(
+        pose, jnp.zeros(2, jnp.float32), jnp.asarray(pix),
+        jnp.ones(P, bool), cache, iters=6)
+    # the gradient drives x negative; with the off-field penalty every
+    # such step raises the acceptance cost, so the pose must not walk
+    # the cloud off the map (x stays within one trust-region step)
+    assert float(out[0]) > -1.6
+    assert float(c1) <= float(c0)
+
+
+def test_polish_mp_sharding_raises(dataset_small, map_art):
+    import jax
+
+    from lsdtpu.runtime.batch import stack_batch
+    from lsdtpu.runtime.shard import (make_mesh_mp,
+                                      run_batch_sharded_mapblocks)
+
+    ds = dataset_small
+    art = (map_art.lines_info, map_art.map_cache)
+    frames, ctxs, _ = stack_batch([ds, ds], [art, art], dtype=np.float64,
+                                  max_frames=2)
+    cfg = dataclasses.replace(
+        DEFAULT, match=dataclasses.replace(DEFAULT.match, polish_pose=True))
+    with pytest.raises(ValueError, match="polish_pose"):
+        jax.block_until_ready(
+            run_batch_sharded_mapblocks(frames, ctxs, make_mesh_mp(), cfg))
