@@ -76,6 +76,49 @@ def interpolated_ate(poses_px: np.ndarray, real_pos: np.ndarray,
     return _summarize(err)
 
 
+def umeyama_se2(src: np.ndarray, dst: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Least-squares rigid SE(2) alignment (rotation R, translation t)
+    minimizing ||R src + t - dst||^2 (Umeyama/Horn, no scale) - the
+    standard TUM-style ATE alignment step."""
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    mu_s = src.mean(axis=0)
+    mu_d = dst.mean(axis=0)
+    cov = (dst - mu_d).T @ (src - mu_s) / src.shape[0]
+    U, _S, Vt = np.linalg.svd(cov)
+    d = np.sign(np.linalg.det(U @ Vt))
+    R = U @ np.diag([1.0, d]) @ Vt
+    t = mu_d - R @ mu_s
+    return R, t
+
+
+def aligned_keyframe_ate(poses_px: np.ndarray, real_pos: np.ndarray,
+                         recorded_odom: np.ndarray, resol: float,
+                         ori_x: float, ori_y: float) -> ATEResult:
+    """Keyframe ATE after rigid SE(2) alignment of the estimated
+    trajectory onto the ground truth (TUM ATE convention).
+
+    The raw keyframe ATE conflates tracking error with any constant
+    map<->ground-truth frame convention offset (the f4key sequences
+    carry a fixed ~(0.85, 1.93) m one - see docs/RESULTS.md); the
+    aligned metric isolates the trajectory-shape error.  Needs >= 2
+    usable keyframes, else returns the raw metric.
+    """
+    world = pixel_to_world(poses_px, resol, ori_x, ori_y)
+    idx = np.asarray(recorded_odom, dtype=np.int64) - 1
+    keep = (idx >= 0) & (idx < world.shape[0])
+    idx = idx[keep]
+    gt = np.asarray(real_pos, dtype=np.float64)[keep]
+    est = world[idx]
+    fin = np.isfinite(est).all(axis=1)
+    if fin.sum() < 2:
+        return _summarize(np.linalg.norm(est - gt, axis=1))
+    R, t = umeyama_se2(est[fin], gt[fin])
+    err = np.linalg.norm(est[fin] @ R.T + t - gt[fin], axis=1)
+    return _summarize(err)
+
+
 def _summarize(err: np.ndarray) -> ATEResult:
     if err.size == 0:
         return ATEResult(float("nan"), float("nan"), float("nan"),

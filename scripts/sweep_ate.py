@@ -56,15 +56,21 @@ def main():
                 a = eval_ate.keyframe_ate(
                     poses, ds.real_pos, ds.recorded_odom, ds.param.resol,
                     ds.param.ori_x, ds.param.ori_y)
+                al = eval_ate.aligned_keyframe_ate(
+                    poses, ds.real_pos, ds.recorded_odom, ds.param.resol,
+                    ds.param.ori_x, ds.param.ori_y)
                 rec.update(ate_rmse_m=round(a.rmse, 4),
                            ate_mean_m=round(a.mean, 4),
-                           ate_max_m=round(a.max, 4), keyframes=a.n)
+                           ate_max_m=round(a.max, 4), keyframes=a.n,
+                           aligned_ate_rmse_m=round(al.rmse, 4))
         except Exception as e:
             rec = {"seq": p, "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(rec), flush=True)
         results.append(rec)
 
     ates = [r["ate_rmse_m"] for r in results if "ate_rmse_m" in r]
+    aligned = [r["aligned_ate_rmse_m"] for r in results
+               if "aligned_ate_rmse_m" in r]
     summary = {"sequences": len(results),
                "with_gt": len(ates),
                "ate_rmse_mean": round(float(np.mean(ates)), 4) if ates
@@ -72,7 +78,11 @@ def main():
                "ate_rmse_median": round(float(np.median(ates)), 4)
                if ates else None,
                "ate_rmse_worst": round(float(np.max(ates)), 4) if ates
-               else None}
+               else None,
+               "aligned_ate_rmse_mean": round(float(np.mean(aligned)), 4)
+               if aligned else None,
+               "aligned_ate_rmse_worst": round(float(np.max(aligned)), 4)
+               if aligned else None}
     print(json.dumps({"summary": summary}), flush=True)
     if args.out:
         with open(args.out, "w") as f:
