@@ -76,7 +76,8 @@ def cmd_run(args) -> int:
     t0 = time.perf_counter()
     lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
                                       z_occ_max_dis=cfg.map.z_occ_max_dis,
-                                      backend=args.mapprep)
+                                      backend=args.mapprep,
+                                      growth=cfg.lsd.growth)
     print(f"map: {len(lines)} lines, cache {cache.shape} "
           f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
     ctx = make_map_context(lines, cache, ds.param.resol, ds.param.ori_x,
@@ -167,7 +168,8 @@ def cmd_prepare_map(args) -> int:
     t0 = time.perf_counter()
     lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
                                       z_occ_max_dis=cfg.map.z_occ_max_dis,
-                                      backend=args.mapprep)
+                                      backend=args.mapprep,
+                                      growth=cfg.lsd.growth)
     dumped = None
     if getattr(args, "dump", None):
         import jax.numpy as jnp
@@ -205,7 +207,8 @@ def cmd_refine(args) -> int:
     ds = load_dataset(args.data)
     lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
                                       z_occ_max_dis=cfg.map.z_occ_max_dis,
-                                      backend=args.mapprep)
+                                      backend=args.mapprep,
+                                      growth=cfg.lsd.growth)
     ctx = make_map_context(lines, cache, ds.param.resol, ds.param.ori_x,
                            ds.param.ori_y, dtype=dtype)
     frames = stack_frames(ds, dtype=dtype, max_frames=args.frames)

@@ -22,6 +22,10 @@ class LSDConfig:
     ang_thre: float = 22.5    # angle threshold, degrees (lsd_angThre)
     den_thre: float = 0.7     # density threshold (lsd_denThre)
     pse_bin: int = 1024       # pseudo-sort bins (pseBin)
+    # region-growth order: "wave" (wave-synchronous, fast TPU default)
+    # or "fifo" (the reference's exact FIFO acceptance order - bit-
+    # exact line sets vs the oracle, sequential; mapprep/lsd.py)
+    growth: str = "wave"
 
 
 @dataclasses.dataclass(frozen=True)

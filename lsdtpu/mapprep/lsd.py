@@ -81,18 +81,84 @@ def _grow(seed_y, seed_x, seed_deg, deg_thre, ban, deg_map):
     return out["cur"], out["deg"]
 
 
+def _grow_fifo(seed_y, seed_x, seed_deg, deg_thre, ban, deg_map,
+               cap: int = 65536):
+    """Exact-order FIFO region growth (reference: RegionGrower,
+    myLSD.cpp:491-590): a queue of accepted points; each popped point
+    scans its 3x3 neighborhood in row-major order; the running circular
+    mean updates after EVERY acceptance; full re-sweep passes repeat
+    until one adds nothing (`while ex != grow`).  Sequential by
+    construction - kept for bit-parity map prep (config
+    lsd.growth="fifo"); the wave-synchronous `_grow` is the fast
+    default.  `cap` bounds the queue (>= the downsampled image size for
+    the bundled maps).  Returns (cur mask, reg_deg)."""
+    H, W = deg_map.shape
+    dt = deg_map.dtype
+    cur0 = jnp.zeros((H, W), bool).at[seed_y, seed_x].set(True)
+    st = dict(
+        qy=jnp.zeros((cap,), jnp.int32).at[0].set(seed_y),
+        qx=jnp.zeros((cap,), jnp.int32).at[0].set(seed_x),
+        cur=cur0, grow=jnp.int32(1), i=jnp.int32(0), ex=jnp.int32(0),
+        sin=jnp.sin(seed_deg).astype(dt), cos=jnp.cos(seed_deg).astype(dt),
+        deg=jnp.arctan2(jnp.sin(seed_deg), jnp.cos(seed_deg)).astype(dt))
+
+    def pop_step(s):
+        ry = s["qy"][s["i"]]
+        rx = s["qx"][s["i"]]
+        cur, grow = s["cur"], s["grow"]
+        qy, qx = s["qy"], s["qx"]
+        sin, cos, deg = s["sin"], s["cos"], s["deg"]
+        # 3x3 in row-major (m, n) order with sequential angle updates
+        # (the center is cur==1, so it self-skips like the reference)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                m = ry + dy
+                n = rx + dx
+                inb = (m >= 0) & (m < H) & (n >= 0) & (n < W)
+                mc = jnp.clip(m, 0, H - 1)
+                nc = jnp.clip(n, 0, W - 1)
+                free = inb & ~cur[mc, nc] & ~ban[mc, nc]
+                cd = deg_map[mc, nc]
+                dif = jnp.abs(deg - cd)
+                dif = jnp.where(dif > PI * 1.5, jnp.abs(dif - 2 * PI), dif)
+                acc = free & (dif < deg_thre) & (grow < cap)
+                sin = sin + jnp.where(acc, jnp.sin(cd), 0.0)
+                cos = cos + jnp.where(acc, jnp.cos(cd), 0.0)
+                deg = jnp.where(acc, jnp.arctan2(sin, cos), deg)
+                cur = cur.at[mc, nc].set(cur[mc, nc] | acc)
+                slot = jnp.minimum(grow, cap - 1)
+                qy = qy.at[slot].set(jnp.where(acc, m, qy[slot]))
+                qx = qx.at[slot].set(jnp.where(acc, n, qx[slot]))
+                grow = grow + acc.astype(jnp.int32)
+        return dict(qy=qy, qx=qx, cur=cur, grow=grow, i=s["i"] + 1,
+                    ex=s["ex"], sin=sin, cos=cos, deg=deg)
+
+    def pass_body(s):
+        s = dict(s, ex=s["grow"], i=jnp.int32(0))
+        return jax.lax.while_loop(lambda t: t["i"] < t["grow"],
+                                  pop_step, s)
+
+    out = jax.lax.while_loop(lambda s: s["ex"] != s["grow"], pass_body, st)
+    return out["cur"], out["deg"]
+
+
 @partial(jax.jit, static_argnames=("sca", "sig", "ang_thre", "den_thre",
-                                   "pse_bin", "max_lines"))
+                                   "pse_bin", "max_lines", "growth"))
 def line_segment_detector(map_gray: jnp.ndarray, sca: float = 0.3,
                           sig: float = 0.6, ang_thre: float = 22.5,
                           den_thre: float = 0.7, pse_bin: int = 1024,
-                          max_lines: int = 256):
+                          max_lines: int = 256, growth: str = "wave"):
     """map_gray: (row, col) occupancy {0, 1, 255}.  Returns
     (lines (max_lines, 10), mask (max_lines,), n_lines, remapped_map).
 
     linesInfo rows are in structLinesInfo order (geometry.py) with
     endpoints rescaled to the full-resolution map frame
-    (myLSD.cpp:252-258)."""
+    (myLSD.cpp:252-258).
+
+    growth: "wave" (default, wave-synchronous - fast, line sets can
+    deviate from the reference when a mid-wave angle update flips an
+    accept) or "fifo" (exact reference acceptance order - sequential,
+    for bit-parity map prep)."""
     ori_row, ori_col = map_gray.shape
     dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
@@ -148,7 +214,8 @@ def line_segment_detector(map_gray: jnp.ndarray, sca: float = 0.3,
 
         ban = s["used"] == 1
         seed_deg = deg_map[sy, sx]
-        cur, reg_deg = _grow(sy, sx, seed_deg, deg_thre, ban, deg_map)
+        grow_impl = _grow_fifo if growth == "fifo" else _grow
+        cur, reg_deg = grow_impl(sy, sx, seed_deg, deg_thre, ban, deg_map)
         size = jnp.sum(cur)
 
         def process(_):
@@ -156,7 +223,7 @@ def line_segment_detector(map_gray: jnp.ndarray, sca: float = 0.3,
                                             deg_thre)
 
             def grow_fn(cen_deg, new_thre):
-                return _grow(sy, sx, cen_deg, new_thre, ban, deg_map)
+                return grow_impl(sy, sx, cen_deg, new_thre, ban, deg_map)
 
             ok, cur2, _rd, rec2 = mrect.refiner(
                 sx.astype(dt), sy.astype(dt), reg_deg, cur, rec, mag,

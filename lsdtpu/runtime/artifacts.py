@@ -19,29 +19,33 @@ DEFAULT_CACHE_DIR = os.path.join(os.path.expanduser("~"), ".cache",
 
 
 def _key(map_value: np.ndarray, resol: float, z: float,
-         backend: str) -> str:
+         backend: str, growth: str) -> str:
     h = hashlib.sha256()
     h.update(map_value.tobytes())
-    h.update(f"{map_value.shape}|{resol}|{z}|{backend}".encode())
+    tag = "" if growth == "wave" else f"|{growth}"   # keep old cache keys
+    h.update(f"{map_value.shape}|{resol}|{z}|{backend}{tag}".encode())
     return h.hexdigest()[:20]
 
 
 def prepare_map_cached(map_value: np.ndarray, resol: float,
                        z_occ_max_dis: float = 1.0, backend: str = "tpu",
-                       cache_dir: str = DEFAULT_CACHE_DIR
+                       cache_dir: str = DEFAULT_CACHE_DIR,
+                       growth: str = "wave"
                        ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (lines_info, map_cache), computing at most once per map.
 
     backend: "tpu" (mapprep, on-device) or "oracle" (numpy reference
-    semantics, f64)."""
+    semantics, f64); growth: LSD region-growth order (tpu backend only;
+    "fifo" = bit-exact reference acceptance order)."""
     path = os.path.join(cache_dir,
-                        f"map_{_key(map_value, resol, z_occ_max_dis, backend)}.npz")
+                        f"map_{_key(map_value, resol, z_occ_max_dis, backend, growth)}.npz")
     if os.path.exists(path):
         z = np.load(path)
         return z["lines"], z["cache"]
     if backend == "tpu":
         from lsdtpu.mapprep import prepare_map
-        art = prepare_map(map_value, resol, z_occ_max_dis=z_occ_max_dis)
+        art = prepare_map(map_value, resol, z_occ_max_dis=z_occ_max_dis,
+                          growth=growth)
     elif backend == "oracle":
         from lsdtpu.oracle import driver as odrv
         art = odrv.prepare_map(map_value, resol,

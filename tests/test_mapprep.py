@@ -169,3 +169,26 @@ def test_lsd_aisle_map_wall_parity(data_root):
     d2 = np.abs(ge[:, None, :] - oe[:, [2, 3, 0, 1]][None, :, :]).max(-1)
     matched = (np.minimum(d1, d2).min(1) < 25).sum()
     assert matched >= len(want) - 2, f"{matched}/{len(want)}"
+
+
+def test_fifo_growth_bit_exact_vs_oracle(dataset_small):
+    """growth="fifo" reproduces the reference's exact FIFO acceptance
+    order (per-pixel running-angle updates + re-sweep passes,
+    myLSD.cpp:491-590): the jitted LSD must emit the oracle's line set
+    INCLUDING extraction order, with values equal up to XLA FMA
+    contraction (~1e-13 on these coordinates; see the module-level FMA
+    note) - the strongest portable parity level (the remaining delta to
+    the C++ binary's own dump is its unstable qsort seed tie order,
+    SURVEY.md 2.1)."""
+    from lsdtpu.mapprep.lsd import line_segment_detector
+    lines, mask, n, _ = line_segment_detector(
+        dataset_small.map_value.copy(), growth="fifo")
+    got = np.asarray(lines)[np.asarray(mask)]
+    want = olsd.line_segment_detector(
+        dataset_small.map_value.copy()).lines_info
+    assert len(got) == len(want)
+    # endpoints: FMA-rounding-level agreement, order-aligned (observed
+    # max 1.1e-13); derived b amplifies to ~5e-9
+    np.testing.assert_allclose(got[:, 4:8], want[:, 4:8], rtol=0,
+                               atol=1e-9)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
