@@ -1,0 +1,85 @@
+"""Multi-host mesh construction (runtime/distributed.py).
+
+Single-process CI stands in for the pod: process_count()==1, so the pod
+mesh degenerates to (dp=1, inner=8) over the 8 virtual CPU devices
+(conftest).  The collectives are the same psum/pmin the real DCN+ICI
+mesh runs (SURVEY.md 5.8); what this validates is that the mesh built by
+make_pod_mesh feeds run_batch_sharded* unchanged and reproduces the
+single-device rollout exactly.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from lsdtpu.config import DEFAULT
+from lsdtpu.oracle import driver as odrv
+from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
+from lsdtpu.runtime.batch import stack_batch
+from lsdtpu.runtime.distributed import initialize, make_pod_mesh
+from lsdtpu.runtime.shard import (DP_AXIS, MP_AXIS, TP_AXIS,
+                                  run_batch_sharded,
+                                  run_batch_sharded_mapblocks)
+
+
+@pytest.fixture(scope="module")
+def map_art(dataset_small):
+    ds = dataset_small
+    return odrv.prepare_map(ds.map_value, ds.param.resol)
+
+
+@pytest.fixture(scope="module")
+def single_ref(dataset_small, map_art):
+    ds = dataset_small
+    ctx = make_map_context(map_art.lines_info, map_art.map_cache,
+                           ds.param.resol, ds.param.ori_x, ds.param.ori_y,
+                           dtype=np.float64)
+    frames = stack_frames(ds, dtype=np.float64, max_frames=8)
+    return jax.tree.map(np.asarray, run_sequence(frames, ctx, DEFAULT))
+
+
+@pytest.fixture(scope="module")
+def batch_inputs(dataset_small, map_art):
+    ds = dataset_small
+    art = (map_art.lines_info, map_art.map_cache)
+    return stack_batch([ds], [art], dtype=np.float64, max_frames=8)
+
+
+def test_initialize_single_process_is_noop(monkeypatch):
+    # n<=1 must not call jax.distributed.initialize (which would fail
+    # without a coordinator)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    initialize()
+    initialize(num_processes=1)
+
+
+def test_pod_mesh_shape_and_axes():
+    mesh = make_pod_mesh()
+    assert mesh.axis_names == (DP_AXIS, TP_AXIS)
+    assert mesh.devices.shape == (1, 8)  # 1 "host", 8 local chips
+    mesh_mp = make_pod_mesh(inner=MP_AXIS)
+    assert mesh_mp.axis_names == (DP_AXIS, MP_AXIS)
+    with pytest.raises(AssertionError):
+        make_pod_mesh(inner="bogus")
+
+
+def test_pod_mesh_tp_rollout_matches_single(batch_inputs, single_ref):
+    frames, ctxs, lens = batch_inputs
+    mesh = make_pod_mesh(inner=TP_AXIS)
+    outs = jax.tree.map(
+        np.asarray, run_batch_sharded(frames, ctxs, mesh, DEFAULT))
+    assert lens.tolist() == [8]
+    np.testing.assert_allclose(outs["pose"][0], single_ref["pose"],
+                               atol=1e-9)
+    np.testing.assert_array_equal(outs["n_candidates"][0],
+                                  single_ref["n_candidates"])
+
+
+def test_pod_mesh_mp_rollout_matches_single(batch_inputs, single_ref):
+    frames, ctxs, lens = batch_inputs
+    mesh = make_pod_mesh(inner=MP_AXIS)
+    outs = jax.tree.map(
+        np.asarray,
+        run_batch_sharded_mapblocks(frames, ctxs, mesh, DEFAULT))
+    np.testing.assert_allclose(outs["pose"][0], single_ref["pose"],
+                               atol=1e-9)
