@@ -3,14 +3,15 @@
 Runs the complete per-frame pipeline (RDP featurization, dense
 scan-to-map association against the mapCache prior, fusion, UKF) as a
 jitted lax.scan rollout on the default JAX backend (TPU under the
-driver; CPU elsewhere), and compares against the reference-semantics
-numpy oracle measured live on this host's CPU (the reference itself is
-Windows/OpenCV and cannot run here; the oracle reproduces its numeric
-behavior - see lsdtpu/oracle/).
+driver; CPU elsewhere), and compares against the REAL C++ reference
+engine compiled from its sources and timed live on this host
+(scripts/refbench/; the reference's 30-thread pool gets all cores).
+If the reference cannot be built/run here, falls back to the
+reference-semantics numpy oracle (lsdtpu/oracle/).
 
 Prints ONE JSON line:
   {"metric": "scans_per_sec", "value": N, "unit": "scans/s",
-   "vs_baseline": N / oracle_scans_per_sec}
+   "vs_baseline": N / reference_scans_per_sec, ...}
 
 Auxiliary numbers (ATE, tracking rate, batch mode) go to stderr.
 
@@ -61,6 +62,34 @@ def measure_baseline(ds, art, n_frames: int = 60) -> float:
     except Exception as e:  # pragma: no cover - keep bench robust
         log("baseline measurement failed:", e)
         return FALLBACK_BASELINE
+
+
+def measure_reference_baseline(n_runs: int = 2):
+    """Build (cached) and time the actual C++ reference engine on DATA.
+    Returns (scans_per_sec, kind) or None if unavailable."""
+    import re
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    bin_path = os.path.join(repo, "build", "refbench", "lsd_refbench")
+    try:
+        if not os.path.exists(bin_path):
+            subprocess.run(
+                ["sh", os.path.join(repo, "scripts", "refbench",
+                                    "build.sh")],
+                check=True, capture_output=True, timeout=300)
+        best = 0.0
+        for _ in range(n_runs):
+            out = subprocess.run([bin_path, DATA, "0"], check=True,
+                                 capture_output=True, text=True,
+                                 timeout=300)
+            m = re.search(r"= ([0-9.]+) scans/s", out.stdout)
+            if m:
+                best = max(best, float(m.group(1)))
+        return best if best > 0 else None
+    except Exception as e:  # pragma: no cover - keep bench robust
+        log("reference baseline unavailable:", e)
+        return None
 
 
 BEST = {"json": None}
@@ -133,8 +162,14 @@ def main():
         f"{len(ds.frames)} frames, {art[0].shape[0]} map lines, "
         f"backend={jax.default_backend()} x{jax.device_count()}")
 
-    baseline = measure_baseline(ds, art)
-    log(f"oracle baseline: {baseline:.1f} scans/s (host CPU)")
+    ref = measure_reference_baseline()
+    if ref is not None:
+        baseline, baseline_kind = ref, "cpp-reference"
+        log(f"baseline: {baseline:.1f} scans/s (REAL C++ reference, "
+            f"best of 2 runs, {os.cpu_count()} cores)")
+    else:
+        baseline, baseline_kind = measure_baseline(ds, art), "oracle"
+        log(f"baseline: {baseline:.1f} scans/s (numpy oracle fallback)")
 
     # pin the compiled shape that has proven stable on the axon tunnel
     # (K=4096 candidates x P=2048 pixels; data1 frames stay under the
@@ -165,6 +200,8 @@ def main():
             "value": round(F / min(times), 1),
             "unit": "scans/s",
             "vs_baseline": round(F / min(times) / baseline, 2),
+            "baseline_scans_per_sec": round(baseline, 1),
+            "baseline_kind": baseline_kind,
             "backend": jax.default_backend()})
         log(f"  repeat: {times[-1] * 1e3:.2f} ms")
     best = min(times)
@@ -186,6 +223,9 @@ def main():
         "value": round(scans_per_sec, 1),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_sec / baseline, 2),
+        "baseline_scans_per_sec": round(baseline, 1),
+        # vs the real C++ engine when buildable, else the numpy oracle
+        "baseline_kind": baseline_kind,
         # machine-readable record of WHICH backend produced the number
         # (the probe above may have rerouted a wedged TPU run to CPU)
         "backend": jax.default_backend(),
