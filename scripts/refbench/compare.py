@@ -6,6 +6,7 @@ the same keyframe-ATE machinery used for lsdtpu, runs lsdtpu on the
 same sequence, and prints both sides.
 
 Usage:  python scripts/refbench/compare.py [dataset_dir] [--runs N]
+        python scripts/refbench/compare.py --all   # every GT sequence
 """
 
 from __future__ import annotations
@@ -44,7 +45,54 @@ def run_reference(data_dir: str):
     return poses, loop_line[0] if loop_line else "", wall
 
 
+def ref_keyframe_ate(poses, ds):
+    """Keyframe ATE over the keys the reference tracked (reset frames
+    excluded - they would poison the metric)."""
+    p = ds.param
+    lost = poses[:, 0] == -1
+    idx = np.asarray(ds.recorded_odom, np.int64) - 1
+    keep = (idx >= 0) & (idx < poses.shape[0])
+    keep &= ~lost[np.clip(idx, 0, poses.shape[0] - 1)]
+    if not keep.any():
+        return None, int(lost.sum())
+    return keyframe_ate(poses, ds.real_pos[keep],
+                        np.asarray(ds.recorded_odom)[keep],
+                        p.resol, p.ori_x, p.ori_y), int(lost.sum())
+
+
+def sweep_all():
+    """Reference engine over every ground-truth sequence; one run each.
+    Emits a markdown table row per sequence (stdout)."""
+    import glob
+
+    roots = sorted(glob.glob("/root/reference/data_20190513/data_f3key/data*")
+                   ) + sorted(
+        glob.glob("/root/reference/data_20190514/data_f4key/data*"),
+        key=lambda p: (len(p), p))
+    print("| sequence | scans/s | reset frames | tracked-key ATE rmse (m) "
+          "| tracked keys |")
+    print("|---|---|---|---|---|")
+    for root in roots:
+        ds = load_dataset(root)
+        poses, loop, wall = run_reference(root)
+        rate = loop.split("= ")[1].split(" ")[0] if "= " in loop else "?"
+        ate, lost = ref_keyframe_ate(poses, ds)
+        name = "/".join(root.split("/")[-3:])
+        if ate is None:
+            print(f"| {name} | {rate} | {lost}/{len(poses)} | - | 0/"
+                  f"{len(ds.real_pos)} |")
+        else:
+            print(f"| {name} | {rate} | {lost}/{len(poses)} | "
+                  f"{ate.rmse:.4f} | {ate.n}/{len(ds.real_pos)} |")
+
+
 def main():
+    if "--all" in sys.argv:
+        if not os.path.exists(BIN):
+            subprocess.run(["sh", os.path.join(REPO, "scripts", "refbench",
+                                               "build.sh")], check=True)
+        sweep_all()
+        return
     data_dir = sys.argv[1] if len(sys.argv) > 1 else \
         "/root/reference/data_20190513/data_f3key/data1"
     runs = 3
