@@ -8,9 +8,14 @@
 // trace can be measured on this machine and compared against lsdtpu
 // (see scripts/refbench/run.sh and docs/RESULTS.md).
 //
-// Usage: lsd_refbench <dataset_dir> [max_frames] [pose_dump.txt]
+// Usage: lsd_refbench <dataset_dir> [max_frames] [pose_dump.txt] [map_dump_dir]
 //   prints: map-prep seconds, frame-loop seconds, scans/s, final pose
-//   dumps:  one "x y ang" row per frame (pixel coords, like kalman_x)
+//   dumps:  one "x y ang" row per frame (pixel coords, like kalman_x);
+//           with map_dump_dir: maplines.txt (10-column structLinesInfo
+//           rows, the MaplinesInfo.txt golden-dump format) and
+//           mapcache.txt (row-major doubles) of the engine's actual
+//           map artifacts, for direct parity checks against lsdtpu
+//           (scripts/refbench/parity_map.py).  pose_dump "-" = none.
 
 #include <cstdio>
 #include <cstdlib>
@@ -41,6 +46,8 @@ int main(int argc, char **argv) {
     if (!dir.empty() && dir.back() != '/') dir += '/';
     long max_frames = (argc > 2) ? std::atol(argv[2]) : -1;
     const char *dump_path = (argc > 3) ? argv[3] : nullptr;
+    if (dump_path && std::string(dump_path) == "-") dump_path = nullptr;
+    const char *map_dump_dir = (argc > 4) ? argv[4] : nullptr;
 
     // ---- map parameters -------------------------------------------------
     structMapParam mapParam;
@@ -98,6 +105,29 @@ int main(int argc, char **argv) {
         pseBin);
     double t_prep = now_s() - t0;
     std::printf("map prep: %.3f s (%d lines)\n", t_prep, LSD.len_linesInfo);
+
+    if (map_dump_dir) {
+        std::string md = map_dump_dir;
+        if (!md.empty() && md.back() != '/') md += '/';
+        FILE *fl = std::fopen((md + "maplines.txt").c_str(), "w");
+        for (int i = 0; i < LSD.len_linesInfo; i++) {
+            const structLinesInfo &li = LSD.linesInfo[i];
+            std::fprintf(fl, "%.17g %.17g %.17g %.17g %.17g %.17g %.17g "
+                         "%.17g %.17g %.17g\n", li.k, li.b, li.dx, li.dy,
+                         li.x1, li.y1, li.x2, li.y2, li.len, li.orient);
+        }
+        std::fclose(fl);
+        FILE *fc = std::fopen((md + "mapcache.txt").c_str(), "w");
+        for (int r = 0; r < rows; r++) {
+            const double *row = mapCache.ptr<double>(r);
+            for (int c = 0; c < cols; c++)
+                std::fprintf(fc, "%.17g ", row[c]);
+            std::fprintf(fc, "\n");
+        }
+        std::fclose(fc);
+        std::printf("map artifacts dumped to %s\n", md.c_str());
+        if (max_frames == 0) return 0;
+    }
 
     cv::Mat display;  // dead field in structFAInput; never read by myfa
 
