@@ -84,15 +84,38 @@ def _out_spec():
     }
 
 
+def _pad_to_mesh(frames, ctxs: MapContext, n_dp: int, n_tp: int):
+    """Pad the batch axis to a multiple of dp (replicating the last
+    sequence - the clones run on otherwise-idle dp shards and are
+    sliced off) and the map-line axis to a multiple of tp (masked-out
+    padding lines).  Returns (frames, ctxs, true_B)."""
+    B = ctxs.lines.shape[0]
+    bpad = (-B) % n_dp
+    if bpad:
+        rep = lambda a: jnp.concatenate(  # noqa: E731
+            [a, jnp.broadcast_to(a[-1:], (bpad,) + a.shape[1:])])
+        frames = jax.tree.map(rep, frames)
+        ctxs = jax.tree.map(rep, ctxs)
+    mpad = (-ctxs.lines.shape[1]) % n_tp
+    if mpad:
+        ctxs = dataclasses.replace(
+            ctxs,
+            lines=jnp.pad(ctxs.lines, ((0, 0), (0, mpad), (0, 0))),
+            lines_mask=jnp.pad(ctxs.lines_mask, ((0, 0), (0, mpad))))
+    return frames, ctxs, B
+
+
 def run_batch_sharded(frames, ctxs: MapContext, mesh: Mesh,
                       cfg: EngineConfig = DEFAULT):
     """Sharded batched rollout.
 
-    frames: pytree with (B, F, ...) axes (B divisible by mesh dp size);
-    ctxs: MapContext with (B, ...) axes; map lines padded to a multiple
-    of the tp size.  Returns outputs with (B, F, ...) axes, replicated
-    over tp.
+    frames: pytree with (B, F, ...) axes; ctxs: MapContext with (B, ...)
+    axes.  B and the map-line axis need not divide the mesh - they are
+    padded to it (and outputs sliced back).  Returns outputs with
+    (B, F, ...) axes, replicated over tp.
     """
+    frames, ctxs, B = _pad_to_mesh(frames, ctxs, mesh.shape[DP_AXIS],
+                                   mesh.shape[TP_AXIS])
 
     def device_fn(fr, cx):
         # local shapes: fr (B/dp, F, ...); cx.lines (B/dp, M/tp, 10)
@@ -114,7 +137,8 @@ def run_batch_sharded(frames, ctxs: MapContext, mesh: Mesh,
                    in_specs=(_frames_spec(), _ctx_spec()),
                    out_specs=_out_spec(), check_vma=False)
     with mesh:
-        return jax.jit(fn)(frames, ctxs)
+        outs = jax.jit(fn)(frames, ctxs)
+    return jax.tree.map(lambda a: a[:B], outs)
 
 
 MP_AXIS = "mp"
@@ -139,6 +163,7 @@ def run_batch_sharded_mapblocks(frames, ctxs: MapContext, mesh: Mesh,
     replicated over mp (they are KBs; the field is the heavy part).
     """
     n_mp = mesh.shape[MP_AXIS]
+    frames, ctxs, B = _pad_to_mesh(frames, ctxs, mesh.shape[DP_AXIS], 1)
     H = ctxs.cache.shape[1]
     pad = (-H) % n_mp
     if pad:
@@ -168,4 +193,5 @@ def run_batch_sharded_mapblocks(frames, ctxs: MapContext, mesh: Mesh,
                    in_specs=(_frames_spec(), ctx_spec),
                    out_specs=_out_spec(), check_vma=False)
     with mesh:
-        return jax.jit(fn)(frames, ctxs)
+        outs = jax.jit(fn)(frames, ctxs)
+    return jax.tree.map(lambda a: a[:B], outs)

@@ -3,6 +3,12 @@
 Runs the full localization loop on each dataset (f32 production mode)
 and reports keyframe ATE vs realPos.txt.  Usage:
     python scripts/sweep_ate.py [--mapprep oracle|tpu] [--out results.json]
+                                [--backend cpu|default]
+
+Default backend is the host CPU: a 19-sequence sweep is a long
+many-transfer workload, exactly the shape that has wedged the fragile
+axon TPU tunnel (CLAUDE.md); accuracy numbers are backend-independent.
+Pass --backend default to run on the chip deliberately.
 """
 
 import argparse
@@ -14,12 +20,18 @@ import time
 
 import numpy as np
 
+# run as `python scripts/sweep_ate.py` from anywhere; PYTHONPATH must
+# stay unset on this host (it breaks axon PJRT plugin registration)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mapprep", default="oracle",
                     choices=("oracle", "tpu"))
     ap.add_argument("--out", default=None)
+    ap.add_argument("--backend", default="cpu",
+                    choices=("cpu", "default"))
     ap.add_argument("--roots", nargs="*", default=[
         "/root/reference/data_20190513/data_f3key/data*",
         "/root/reference/data_20190514/data_f4key/data*",
@@ -27,6 +39,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     from lsdtpu.eval import ate as eval_ate
     from lsdtpu.io import load_dataset
     from lsdtpu.runtime import make_map_context, run_sequence, stack_frames

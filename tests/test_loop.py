@@ -60,3 +60,29 @@ def test_full_sequence_parity_f64(dataset_small, map_art):
     assert not bool(np.asarray(outs["candidate_overflow"]).any())
     np.testing.assert_allclose(np.asarray(outs["pose"]), ores.poses,
                                atol=1e-5)
+
+
+@pytest.mark.slow
+def test_tpu_mapprep_end_to_end_ate(dataset_data1):
+    """Flagship path fully self-hosted: map artifacts built by the
+    TPU-native mapprep (lsdtpu/mapprep, not the numpy oracle) feed the
+    full 279-frame rollout on data1.  Guards the measured result
+    (docs/RESULTS.md): 100% tracked, keyframe ATE rmse ~0.64 m (the
+    oracle-artifact rollout measures 0.654 m; the line sets differ only
+    structurally, SURVEY.md hard-part 1)."""
+    from lsdtpu.eval import ate as eval_ate
+    from lsdtpu.runtime.artifacts import prepare_map_cached
+
+    ds = dataset_data1
+    lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
+                                      backend="tpu")
+    ctx = make_map_context(lines, cache, ds.param.resol, ds.param.ori_x,
+                           ds.param.ori_y, dtype=np.float32)
+    frames = stack_frames(ds, dtype=np.float32)
+    outs = run_sequence(frames, ctx, DEFAULT)
+    scores = np.asarray(outs["score"])
+    assert np.isfinite(scores).all(), "tracking lost with tpu artifacts"
+    a = eval_ate.keyframe_ate(
+        np.asarray(outs["pose"]), ds.real_pos, ds.recorded_odom,
+        ds.param.resol, ds.param.ori_x, ds.param.ori_y)
+    assert a.rmse < 0.75, f"tpu-mapprep ATE regressed: {a.rmse}"

@@ -117,3 +117,32 @@ def test_tp_sharded_polish_matches_single(dataset_small, map_art,
     for b in range(2):
         np.testing.assert_allclose(outs["pose"][b][:NF], ref["pose"],
                                    atol=1e-9)
+
+
+def test_odd_batch_auto_padded(batch_inputs, single_ref):
+    """B=1 on a (dp=2, tp=4) mesh: the batch axis is auto-padded to the
+    dp size (replicated last sequence, sliced off) so a single dataset
+    runs on any mesh - the /verify recipe shape."""
+    frames, ctxs, _lens = batch_inputs
+    mesh = make_mesh()
+    frames1 = jax.tree.map(lambda x: x[:1], frames)
+    ctxs1 = jax.tree.map(lambda x: x[:1], ctxs)
+    outs = jax.tree.map(
+        np.asarray, run_batch_sharded(frames1, ctxs1, mesh, DEFAULT))
+    assert outs["pose"].shape[0] == 1
+    np.testing.assert_allclose(outs["pose"][0], single_ref["pose"],
+                               atol=1e-9)
+
+
+def test_odd_map_lines_auto_padded(batch_inputs, single_ref):
+    """Map-line axis not divisible by tp: auto-padded with masked lines."""
+    frames, ctxs, _lens = batch_inputs
+    import dataclasses as dc
+    ctxs_odd = dc.replace(ctxs, lines=ctxs.lines[:, :253],
+                          lines_mask=ctxs.lines_mask[:, :253])
+    mesh = make_mesh()
+    outs = jax.tree.map(
+        np.asarray, run_batch_sharded(frames, ctxs_odd, mesh, DEFAULT))
+    for b in range(2):
+        np.testing.assert_allclose(outs["pose"][b], single_ref["pose"],
+                                   atol=1e-9)
