@@ -332,6 +332,11 @@ def cmd_serve(args) -> int:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="lsdtpu")
+    ap.add_argument("--backend", choices=("default", "cpu"),
+                    default="default",
+                    help="'cpu' forces the host CPU backend (accuracy is "
+                         "backend-independent; use for sweeps, or when the "
+                         "TPU is reserved/unstable)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("run", help="offline dataset rollout")
@@ -373,6 +378,9 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
+    if args.backend == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     return args.fn(args)
 
 
