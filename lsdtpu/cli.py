@@ -377,6 +377,12 @@ def main(argv=None) -> int:
     p.add_argument("--frames", type=int, default=None)
     p.set_defaults(fn=cmd_serve)
 
+    # Accept --backend after the subcommand too (`lsdtpu run --backend
+    # cpu`): SUPPRESS keeps the main parser's value unless given here.
+    for sp in sub.choices.values():
+        sp.add_argument("--backend", choices=("default", "cpu"),
+                        default=argparse.SUPPRESS, help=argparse.SUPPRESS)
+
     args = ap.parse_args(argv)
     if args.backend == "cpu":
         import jax

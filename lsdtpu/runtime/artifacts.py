@@ -17,13 +17,19 @@ import numpy as np
 DEFAULT_CACHE_DIR = os.path.join(os.path.expanduser("~"), ".cache",
                                  "lsdtpu")
 
+# Bump when mapprep/oracle numeric semantics change: the key otherwise
+# hashes only inputs, so a warm cache would keep serving artifacts built
+# by older code (ADVICE r1).
+CACHE_VERSION = 2
+
 
 def _key(map_value: np.ndarray, resol: float, z: float,
          backend: str, growth: str) -> str:
     h = hashlib.sha256()
     h.update(map_value.tobytes())
-    tag = "" if growth == "wave" else f"|{growth}"   # keep old cache keys
-    h.update(f"{map_value.shape}|{resol}|{z}|{backend}{tag}".encode())
+    tag = "" if growth == "wave" else f"|{growth}"
+    h.update(f"{map_value.shape}|{resol}|{z}|{backend}{tag}"
+             f"|v{CACHE_VERSION}".encode())
     return h.hexdigest()[:20]
 
 

@@ -63,7 +63,7 @@ def test_full_sequence_parity_f64(dataset_small, map_art):
 
 
 @pytest.mark.slow
-def test_tpu_mapprep_end_to_end_ate(dataset_data1):
+def test_tpu_mapprep_end_to_end_ate(dataset_data1, tmp_path):
     """Flagship path fully self-hosted: map artifacts built by the
     TPU-native mapprep (lsdtpu/mapprep, not the numpy oracle) feed the
     full 279-frame rollout on data1.  Guards the measured result
@@ -74,8 +74,11 @@ def test_tpu_mapprep_end_to_end_ate(dataset_data1):
     from lsdtpu.runtime.artifacts import prepare_map_cached
 
     ds = dataset_data1
+    # Fresh cache_dir: artifacts MUST be rebuilt by the current code, or
+    # a warm ~/.cache/lsdtpu would mask a mapprep regression (ADVICE r1).
     lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
-                                      backend="tpu")
+                                      backend="tpu",
+                                      cache_dir=str(tmp_path))
     ctx = make_map_context(lines, cache, ds.param.resol, ds.param.ori_x,
                            ds.param.ori_y, dtype=np.float32)
     frames = stack_frames(ds, dtype=np.float32)
