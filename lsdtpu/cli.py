@@ -77,7 +77,8 @@ def cmd_run(args) -> int:
     lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
                                       z_occ_max_dis=cfg.map.z_occ_max_dis,
                                       backend=args.mapprep,
-                                      growth=cfg.lsd.growth)
+                                      growth=cfg.lsd.growth,
+                                      nfa_kernel=cfg.lsd.nfa_kernel)
     print(f"map: {len(lines)} lines, cache {cache.shape} "
           f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
     ctx = make_map_context(lines, cache, ds.param.resol, ds.param.ori_x,
@@ -169,7 +170,8 @@ def cmd_prepare_map(args) -> int:
     lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
                                       z_occ_max_dis=cfg.map.z_occ_max_dis,
                                       backend=args.mapprep,
-                                      growth=cfg.lsd.growth)
+                                      growth=cfg.lsd.growth,
+                                      nfa_kernel=cfg.lsd.nfa_kernel)
     dumped = None
     if getattr(args, "dump", None):
         import jax.numpy as jnp
@@ -208,7 +210,8 @@ def cmd_refine(args) -> int:
     lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
                                       z_occ_max_dis=cfg.map.z_occ_max_dis,
                                       backend=args.mapprep,
-                                      growth=cfg.lsd.growth)
+                                      growth=cfg.lsd.growth,
+                                      nfa_kernel=cfg.lsd.nfa_kernel)
     ctx = make_map_context(lines, cache, ds.param.resol, ds.param.ori_x,
                            ds.param.ori_y, dtype=dtype)
     frames = stack_frames(ds, dtype=dtype, max_frames=args.frames)

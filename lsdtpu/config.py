@@ -26,6 +26,9 @@ class LSDConfig:
     # or "fifo" (the reference's exact FIFO acceptance order - bit-
     # exact line sets vs the oracle, sequential; mapprep/lsd.py)
     growth: str = "wave"
+    # NFA rasterize+count backend: "xla" (fused dense pass) or "pallas"
+    # (one fused VMEM kernel, ops/nfa_pallas.py; bitwise-identical)
+    nfa_kernel: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -143,11 +143,13 @@ def _grow_fifo(seed_y, seed_x, seed_deg, deg_thre, ban, deg_map,
 
 
 @partial(jax.jit, static_argnames=("sca", "sig", "ang_thre", "den_thre",
-                                   "pse_bin", "max_lines", "growth"))
+                                   "pse_bin", "max_lines", "growth",
+                                   "nfa_kernel"))
 def line_segment_detector(map_gray: jnp.ndarray, sca: float = 0.3,
                           sig: float = 0.6, ang_thre: float = 22.5,
                           den_thre: float = 0.7, pse_bin: int = 1024,
-                          max_lines: int = 256, growth: str = "wave"):
+                          max_lines: int = 256, growth: str = "wave",
+                          nfa_kernel: str = "xla"):
     """map_gray: (row, col) occupancy {0, 1, 255}.  Returns
     (lines (max_lines, 10), mask (max_lines,), n_lines, remapped_map).
 
@@ -158,7 +160,10 @@ def line_segment_detector(map_gray: jnp.ndarray, sca: float = 0.3,
     growth: "wave" (default, wave-synchronous - fast, line sets can
     deviate from the reference when a mid-wave angle update flips an
     accept) or "fifo" (exact reference acceptance order - sequential,
-    for bit-parity map prep)."""
+    for bit-parity map prep).
+
+    nfa_kernel: "xla" or "pallas" (the fused VMEM rasterize+count
+    kernel, ops/nfa_pallas.py; bitwise-identical line sets)."""
     ori_row, ori_col = map_gray.shape
     dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
@@ -231,7 +236,7 @@ def line_segment_detector(map_gray: jnp.ndarray, sca: float = 0.3,
 
             def validated(_):
                 log_nfa, rec3 = mnfa.rectangle_improver(rec2, deg_map,
-                                                        log_nt)
+                                                        log_nt, nfa_kernel)
                 accept = log_nfa > 0.0
                 # accepted -> used=1; rejected -> used=2 (regrowable)
                 mark = jnp.where(accept, 1, 2).astype(jnp.int8)

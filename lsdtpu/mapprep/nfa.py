@@ -12,6 +12,11 @@ semantics for non-finite bounds) as a lax.while_loop over scalars.
 The reference's fold of degMap into [0, pi) on first call
 (myLSD.cpp:940-945) is a no-op here: atan2 output never exceeds pi and
 pi itself is snapped to 0 upstream (gradient.py), matching the oracle.
+
+The per-pixel rasterize+count pass is shared with the fused Pallas TPU
+kernel (ops/nfa_pallas.py) and selected by `kernel` ("xla" default;
+"pallas" keeps the level-line field VMEM-resident and produces bitwise
+identical counts - the reductions sum exact 0/1 indicators).
 """
 
 from __future__ import annotations
@@ -21,8 +26,10 @@ import math
 import jax
 import jax.numpy as jnp
 
+from lsdtpu.ops.nfa_pallas import (N_SCALARS, rect_counts_math,
+                                   rect_counts_pallas)
+
 PI = math.pi
-INT_MIN = float(-(2 ** 31))
 EPS = 2.2204e-16
 TOLE = 0.1
 
@@ -44,18 +51,10 @@ def log_gamma(x):
     return jnp.where(x > 15.0, win, lan)
 
 
-def _c_int(v, up: bool):
-    """C ceil/floor + cvttsd2si: non-finite / out-of-range -> INT_MIN."""
-    r = jnp.ceil(v) if up else jnp.floor(v)
-    ok = jnp.isfinite(v) & (v >= INT_MIN) & (v < 2.0 ** 31)
-    return jnp.where(ok, r, INT_MIN)
-
-
-def rectangle_nfa(rec, deg_map, log_nt):
-    """-log10 NFA (reference: RectangleNFACalculator, myLSD.cpp:926-1059).
-    rec: dict of traced scalars; deg_map: (H, W)."""
-    dt = deg_map.dtype
-    y_lim, x_lim = deg_map.shape
+def pack_rect_scalars(rec):
+    """Rectangle geometry -> the (N_SCALARS,) packed vector consumed by
+    rect_counts_math / the Pallas kernel: vertex sort (myLSD.cpp:946-970),
+    column range, and the four edge slopes."""
     half_w = rec["wid"] / 2.0
     ver_x = jnp.stack([rec["x1"] - rec["dy"] * half_w,
                        rec["x2"] - rec["dy"] * half_w,
@@ -79,22 +78,20 @@ def rectangle_nfa(rec, deg_map, log_nt):
                     (vy[2] - vy[1]) / (vx[2] - vx[1]),
                     (vy[2] - vy[3]) / (vx[2] - vx[3]),
                     (vy[3] - vy[0]) / (vx[3] - vx[0])])
+    return jnp.concatenate([jnp.stack([x_start, x_len]), vx, vy, ks,
+                            jnp.stack([rec["deg"], rec["prec"]])])
 
-    yy = jax.lax.broadcasted_iota(jnp.int32, deg_map.shape, 0).astype(dt)
-    xx = jax.lax.broadcasted_iota(jnp.int32, deg_map.shape, 1).astype(dt)
-    col_ok = (xx >= x_start) & (xx <= x_start + x_len - 1.0)
-    y_low = _c_int(jnp.where(xx < vx[3],
-                             vy[0] + (xx - vx[0]) * ks[3],
-                             vy[3] + (xx - vx[3]) * ks[2]), up=True)
-    y_high = _c_int(jnp.where(xx < vx[1],
-                              vy[0] + (xx - vx[0]) * ks[0],
-                              vy[1] + (xx - vx[1]) * ks[1]), up=False)
-    inside = col_ok & (yy >= y_low) & (yy <= y_high)
-    deg_dif = jnp.abs(rec["deg"] - deg_map)
-    deg_dif = jnp.where(deg_dif > PI * 1.5, jnp.abs(deg_dif - 2 * PI),
-                        deg_dif)
-    all_pix = jnp.sum(inside).astype(dt)
-    ali_pix = jnp.sum(inside & (deg_dif < rec["prec"])).astype(dt)
+
+def rectangle_nfa(rec, deg_map, log_nt, kernel: str = "xla"):
+    """-log10 NFA (reference: RectangleNFACalculator, myLSD.cpp:926-1059).
+    rec: dict of traced scalars; deg_map: (H, W); kernel: "xla" or
+    "pallas" (the fused VMEM pass, ops/nfa_pallas.py - same counts)."""
+    sc = pack_rect_scalars(rec)
+    if kernel == "pallas":
+        all_pix, ali_pix = rect_counts_pallas(deg_map, sc)
+    else:
+        all_pix, ali_pix = rect_counts_math(
+            deg_map, [sc[i] for i in range(N_SCALARS)])
     return _binom_tail_nfa(all_pix, ali_pix, rec["p"], log_nt)
 
 
@@ -147,14 +144,14 @@ def _binom_tail_nfa(all_pix, ali_pix, p, log_nt):
                         (all_pix == ali_pix), edge, nontrivial, None)
 
 
-def rectangle_improver(rec, deg_map, log_nt):
+def rectangle_improver(rec, deg_map, log_nt, kernel: str = "xla"):
     """Greedy NFA improvement (reference: RectangleImprover,
     myLSD.cpp:1061-1158): 5x p/2, 5x wid-0.5, 5x each lateral shift,
     5x p/2, stopping at the first phase that reaches NFA > 0.
     Returns (log_nfa, rec)."""
     delt = 0.5
     delt2 = delt / 2.0
-    log_nfa = rectangle_nfa(rec, deg_map, log_nt)
+    log_nfa = rectangle_nfa(rec, deg_map, log_nt, kernel)
 
     def phase(carry, update_fn, gated: bool):
         """Run one 5-iteration improvement phase unless already valid."""
@@ -169,7 +166,7 @@ def rectangle_improver(rec, deg_map, log_nt):
                 do = (new["wid"] - delt >= 0.5) if gated else jnp.array(True)
                 new2 = jax.tree.map(
                     lambda a, b: jnp.where(do, a, b), new2, new)
-                cand = rectangle_nfa(new2, deg_map, log_nt)
+                cand = rectangle_nfa(new2, deg_map, log_nt, kernel)
                 better = do & (cand > nfa_v)
                 best2 = jax.tree.map(
                     lambda a, b: jnp.where(better, a, b), new2, best)

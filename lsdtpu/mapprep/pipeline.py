@@ -27,8 +27,8 @@ def prepare_map(map_value: np.ndarray, resol: float,
                 z_occ_max_dis: float = 1.0, sca: float = 0.3,
                 sig: float = 0.6, ang_thre: float = 22.5,
                 den_thre: float = 0.7, pse_bin: int = 1024,
-                max_lines: int = 256, growth: str = "wave"
-                ) -> MapArtifacts:
+                max_lines: int = 256, growth: str = "wave",
+                nfa_kernel: str = "xla") -> MapArtifacts:
     """Drop-in replacement for oracle.driver.prepare_map, on device.
 
     NOTE: mapCache must see the PRE-remap occupancy values (occupied==1),
@@ -39,7 +39,8 @@ def prepare_map(map_value: np.ndarray, resol: float,
     cache = create_map_cache(grid, float(resol), float(z_occ_max_dis))
     lines, mask, n, _remapped = line_segment_detector(
         grid, sca=sca, sig=sig, ang_thre=ang_thre, den_thre=den_thre,
-        pse_bin=pse_bin, max_lines=max_lines, growth=growth)
+        pse_bin=pse_bin, max_lines=max_lines, growth=growth,
+        nfa_kernel=nfa_kernel)
     if int(n) > max_lines:
         raise ValueError(
             f"map produced {int(n)} lines > max_lines={max_lines}; "

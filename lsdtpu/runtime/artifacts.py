@@ -24,10 +24,13 @@ CACHE_VERSION = 2
 
 
 def _key(map_value: np.ndarray, resol: float, z: float,
-         backend: str, growth: str) -> str:
+         backend: str, growth: str, nfa_kernel: str) -> str:
     h = hashlib.sha256()
     h.update(map_value.tobytes())
     tag = "" if growth == "wave" else f"|{growth}"
+    # nfa_kernel is NOT keyed: both backends produce bitwise-identical
+    # artifacts (ops/nfa_pallas.py), so the cache is shared on purpose.
+    del nfa_kernel
     h.update(f"{map_value.shape}|{resol}|{z}|{backend}{tag}"
              f"|v{CACHE_VERSION}".encode())
     return h.hexdigest()[:20]
@@ -36,22 +39,23 @@ def _key(map_value: np.ndarray, resol: float, z: float,
 def prepare_map_cached(map_value: np.ndarray, resol: float,
                        z_occ_max_dis: float = 1.0, backend: str = "tpu",
                        cache_dir: str = DEFAULT_CACHE_DIR,
-                       growth: str = "wave"
+                       growth: str = "wave", nfa_kernel: str = "xla"
                        ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (lines_info, map_cache), computing at most once per map.
 
     backend: "tpu" (mapprep, on-device) or "oracle" (numpy reference
     semantics, f64); growth: LSD region-growth order (tpu backend only;
-    "fifo" = bit-exact reference acceptance order)."""
+    "fifo" = bit-exact reference acceptance order); nfa_kernel: "xla" or
+    "pallas" (tpu backend only; identical artifacts)."""
     path = os.path.join(cache_dir,
-                        f"map_{_key(map_value, resol, z_occ_max_dis, backend, growth)}.npz")
+                        f"map_{_key(map_value, resol, z_occ_max_dis, backend, growth, nfa_kernel)}.npz")
     if os.path.exists(path):
         z = np.load(path)
         return z["lines"], z["cache"]
     if backend == "tpu":
         from lsdtpu.mapprep import prepare_map
         art = prepare_map(map_value, resol, z_occ_max_dis=z_occ_max_dis,
-                          growth=growth)
+                          growth=growth, nfa_kernel=nfa_kernel)
     elif backend == "oracle":
         from lsdtpu.oracle import driver as odrv
         art = odrv.prepare_map(map_value, resol,
