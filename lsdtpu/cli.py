@@ -82,7 +82,9 @@ def cmd_run(args) -> int:
     print(f"map: {len(lines)} lines, cache {cache.shape} "
           f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
     ctx = make_map_context(lines, cache, ds.param.resol, ds.param.ori_x,
-                           ds.param.ori_y, dtype=dtype)
+                           ds.param.ori_y, dtype=dtype,
+                           cache_dtype=cfg.match.cache_dtype,
+                           z_occ_max_dis=cfg.map.z_occ_max_dis)
     frames = stack_frames(ds, dtype=dtype, max_frames=args.frames)
     t0 = time.perf_counter()
     import jax
@@ -213,7 +215,9 @@ def cmd_refine(args) -> int:
                                       growth=cfg.lsd.growth,
                                       nfa_kernel=cfg.lsd.nfa_kernel)
     ctx = make_map_context(lines, cache, ds.param.resol, ds.param.ori_x,
-                           ds.param.ori_y, dtype=dtype)
+                           ds.param.ori_y, dtype=dtype,
+                           cache_dtype=cfg.match.cache_dtype,
+                           z_occ_max_dis=cfg.map.z_occ_max_dis)
     frames = stack_frames(ds, dtype=dtype, max_frames=args.frames)
     outs = jax.tree.map(np.asarray, run_sequence(frames, ctx, cfg))
     meas = outs["measurement"].astype(np.float64)

@@ -35,6 +35,46 @@ from lsdtpu import geometry as geo
 
 PI = math.pi
 
+U16_MAX = 65535
+
+
+def quantize_cache(map_cache, cache_dtype: str, z_occ_max_dis: float = 1.0,
+                   float_dtype=jnp.float32):
+    """Optionally compress the distance field for VMEM residency.
+
+    The scorer is gather-bound with the field VMEM-resident
+    (docs/DESIGN.md speed-of-light); halving the element size doubles
+    the map area that stays on-chip before spilling to HBM (or needing
+    the mp map-block sharding axis).  Modes:
+
+      "f32"  - float at `float_dtype` (exact; default)
+      "bf16" - bfloat16 (2 B/cell, ~3 decimal digits)
+      "u16"  - fixed-point round(d / z * 65535) (2 B/cell, resolution
+               z/65535 ~ 15 um at z=1 m - 256x finer than bf16)
+
+    Cells at/above the cap map to the top code in both compressed modes,
+    preserving the reference's cap-penalty semantics (CalcScore,
+    myFA.cpp:381: d >= z adds the fixed penalty, so only the at-cap
+    PREDICATE must survive compression, not the cap value itself)."""
+    if cache_dtype in ("f32", "default"):
+        return jnp.asarray(map_cache, float_dtype)
+    if cache_dtype == "bf16":
+        return jnp.asarray(map_cache, jnp.bfloat16)
+    if cache_dtype == "u16":
+        q = jnp.round(jnp.clip(jnp.asarray(map_cache, jnp.float32)
+                               / z_occ_max_dis, 0.0, 1.0) * U16_MAX)
+        return q.astype(jnp.uint16)
+    raise ValueError(f"unknown cache_dtype {cache_dtype!r}")
+
+
+def _dequant(vals, dt, z_occ_max_dis):
+    """Gathered cache values -> (float values, at-cap predicate)."""
+    if vals.dtype == jnp.uint16:
+        at_cap = vals == U16_MAX
+        return vals.astype(dt) * (z_occ_max_dis / U16_MAX), at_cap
+    v = vals.astype(dt)
+    return v, v >= z_occ_max_dis
+
 
 @dataclasses.dataclass
 class Candidates:
@@ -192,8 +232,9 @@ def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
             pixels_mask[None, :]
         lin = jnp.clip(iy, 0, pad_rows - 1) * pad_cols + \
             jnp.clip(ix, 0, pad_cols - 1)
-        vals = jnp.take(cache_flat, lin.reshape(-1)).reshape(lin.shape)
-        at_cap = vals >= z_occ_max_dis
+        vals, at_cap = _dequant(
+            jnp.take(cache_flat, lin.reshape(-1)).reshape(lin.shape),
+            dt, z_occ_max_dis)
         contrib = jnp.where(at_cap, max_dist_penalty, vals)
         sum_d = jnp.sum(jnp.where(inside, contrib, 0.0), axis=1)
         n_valid = jnp.sum(inside, axis=1).astype(dt)
@@ -259,8 +300,9 @@ def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
             (iy >= row0) & (iy < row0 + block_h) & pixels_mask[None, :]
         loc = jnp.clip(iy - row0, 0, block_h - 1) * pad_cols + \
             jnp.clip(ix, 0, pad_cols - 1)
-        vals = jnp.take(cache_flat, loc.reshape(-1)).reshape(loc.shape)
-        at_cap = vals >= z_occ_max_dis
+        vals, at_cap = _dequant(
+            jnp.take(cache_flat, loc.reshape(-1)).reshape(loc.shape),
+            dt, z_occ_max_dis)
         contrib = jnp.where(at_cap, max_dist_penalty, vals)
         sum_d = jnp.sum(jnp.where(inside, contrib, 0.0), axis=1)
         n_valid = jnp.sum(inside, axis=1).astype(dt)

@@ -314,8 +314,14 @@ def stack_frames(ds, dtype=np.float32, points_per_scan: int = 360,
 def make_map_context(map_lines: np.ndarray, map_cache: np.ndarray,
                      resol: float, ori_x: float, ori_y: float,
                      max_map_lines: int = 256,
-                     dtype=np.float32) -> MapContext:
-    """Host-side: pad map artifacts into a MapContext."""
+                     dtype=np.float32, cache_dtype: str = "f32",
+                     z_occ_max_dis: float = 1.0) -> MapContext:
+    """Host-side: pad map artifacts into a MapContext.
+
+    cache_dtype: "f32" (exact, at `dtype`), "bf16", or "u16"
+    (half-size VMEM-resident field - see assoc.quantize_cache;
+    z_occ_max_dis is the u16 fixed-point scale and must match the
+    cap the cache was built with)."""
     M = max_map_lines
     lines = np.zeros((M, 10), dtype)
     mask = np.zeros((M,), bool)
@@ -324,7 +330,8 @@ def make_map_context(map_lines: np.ndarray, map_cache: np.ndarray,
     mask[:k] = True
     return MapContext(
         lines=jnp.asarray(lines), lines_mask=jnp.asarray(mask),
-        cache=jnp.asarray(map_cache, dtype),
+        cache=assoc.quantize_cache(map_cache, cache_dtype, z_occ_max_dis,
+                                   float_dtype=dtype),
         rows=jnp.asarray(map_cache.shape[0], jnp.int32),
         cols=jnp.asarray(map_cache.shape[1], jnp.int32),
         resol=jnp.asarray(resol, dtype), ori_x=jnp.asarray(ori_x, dtype),

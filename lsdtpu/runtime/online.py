@@ -160,7 +160,9 @@ class OnlineLocalizer:
                           ori_x: float, ori_y: float) -> None:
         self.ctx = make_map_context(
             lines_info, map_cache, resol, ori_x, ori_y,
-            max_map_lines=self.cfg.shapes.max_map_lines, dtype=self.dtype)
+            max_map_lines=self.cfg.shapes.max_map_lines, dtype=self.dtype,
+            cache_dtype=self.cfg.match.cache_dtype,
+            z_occ_max_dis=self.cfg.map.z_occ_max_dis)
         self.reset()
 
     def reset(self) -> None:

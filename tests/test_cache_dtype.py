@@ -1,0 +1,80 @@
+"""Compressed distance-field modes (match.cache_dtype).
+
+The scorer gathers the mapCache prior per transformed pixel
+(CalcScore, myFA.cpp:357-396); "bf16" and "u16" store the field at
+2 B/cell so twice the map area stays VMEM-resident (docs/DESIGN.md
+speed-of-light).  u16 is fixed-point round(d/z*65535): resolution
+z/65535 (~15 um at z=1 m), so scores - means of gathered distances -
+stay within ~1e-4 m of f32 and trajectories are indistinguishable at
+ATE level.  The at-cap penalty predicate (d >= z) maps to the top code
+and is preserved exactly."""
+
+import numpy as np
+import pytest
+
+from lsdtpu.config import DEFAULT
+from lsdtpu.oracle import driver as odrv
+from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
+
+
+@pytest.fixture(scope="module")
+def map_art(dataset_small):
+    ds = dataset_small
+    return odrv.prepare_map(ds.map_value, ds.param.resol)
+
+
+def _rollout(ds, map_art, cache_dtype, n_frames=40):
+    ctx = make_map_context(map_art.lines_info, map_art.map_cache,
+                           ds.param.resol, ds.param.ori_x, ds.param.ori_y,
+                           dtype=np.float32, cache_dtype=cache_dtype,
+                           z_occ_max_dis=DEFAULT.map.z_occ_max_dis)
+    frames = stack_frames(ds, dtype=np.float32, max_frames=n_frames)
+    import jax
+    return jax.tree.map(np.asarray, run_sequence(frames, ctx, DEFAULT))
+
+
+def test_quantize_cache_cap_predicate(map_art):
+    """Every at-cap cell (d >= z) must hit the top u16 code, and no
+    interior cell may alias it unless within one quantum of the cap."""
+    from lsdtpu.match.associate import U16_MAX, quantize_cache
+    z = DEFAULT.map.z_occ_max_dis
+    cache = map_art.map_cache
+    q = np.asarray(quantize_cache(cache, "u16", z))
+    assert q.dtype == np.uint16
+    at_cap = cache >= z
+    assert (q[at_cap] == U16_MAX).all()
+    near = z * (1.0 - 0.5 / U16_MAX)
+    assert (q[~at_cap & (cache < near)] < U16_MAX).all()
+
+
+def test_u16_rollout_matches_f32(dataset_small, map_art):
+    ds = dataset_small
+    ref = _rollout(ds, map_art, "f32")
+    got = _rollout(ds, map_art, "u16")
+    assert np.isfinite(got["score"]).all()
+    # same tracking decisions, near-identical scores and poses
+    np.testing.assert_array_equal(got["n_candidates"],
+                                  ref["n_candidates"])
+    np.testing.assert_allclose(got["score"], ref["score"], atol=2e-4)
+    err = np.abs(got["pose"][:, :2] - ref["pose"][:, :2])
+    assert err.max() < 0.5, f"u16 pose drift {err.max()} px"
+
+
+def test_bf16_rollout_tracks(dataset_small, map_art):
+    """bf16 is the coarse mode (~0.4% field error): tracking must hold
+    and poses stay within ATE-level tolerance of f32."""
+    ds = dataset_small
+    ref = _rollout(ds, map_art, "f32")
+    got = _rollout(ds, map_art, "bf16")
+    assert np.isfinite(got["score"]).all()
+    err = np.abs(got["pose"][:, :2] - ref["pose"][:, :2])
+    assert err.max() < 2.0, f"bf16 pose drift {err.max()} px"
+
+
+def test_polish_rejects_u16():
+    import jax.numpy as jnp
+    from lsdtpu.match.polish import polish_pose
+    with pytest.raises(ValueError, match="u16"):
+        polish_pose(jnp.zeros(3), jnp.zeros(2),
+                    jnp.zeros((8, 2), jnp.int32), jnp.ones(8, bool),
+                    jnp.zeros((16, 16), jnp.uint16))
