@@ -34,11 +34,14 @@ def run_batch(frames, ctxs: MapContext, cfg: EngineConfig = DEFAULT):
 
 
 def stack_batch(datasets: Sequence, map_arts: Sequence, cfg=DEFAULT,
-                dtype=np.float32, max_frames: Optional[int] = None):
+                dtype=np.float32, max_frames: Optional[int] = None,
+                cache_dtype: str = "f32"):
     """Host-side: pad sequences and maps to common shapes.
 
     datasets: list of io.Dataset; map_arts: list of (lines_info, map_cache)
-    tuples (from oracle.driver.prepare_map or mapprep).
+    tuples (from oracle.driver.prepare_map or mapprep).  cache_dtype:
+    "f32"/"bf16"/"u16" field compression (match/associate.py
+    quantize_cache; scale = cfg.map.z_occ_max_dis for u16).
     Returns (frames pytree, MapContext pytree, true_lengths).
     """
     fs = [stack_frames(ds, dtype=dtype, max_frames=max_frames)
@@ -69,9 +72,11 @@ def stack_batch(datasets: Sequence, map_arts: Sequence, cfg=DEFAULT,
         # pad with the cap so out-of-map reads behave like far cells
         cache[i] = np.pad(ca, ((0, H - ca.shape[0]), (0, W - ca.shape[1])),
                           constant_values=ca.max())
+    from lsdtpu.match.associate import quantize_cache
     ctxs = MapContext(
         lines=jnp.asarray(lines), lines_mask=jnp.asarray(mask),
-        cache=jnp.asarray(cache),
+        cache=quantize_cache(cache, cache_dtype, cfg.map.z_occ_max_dis,
+                             float_dtype=dtype),
         rows=jnp.asarray([a[1].shape[0] for a in map_arts], jnp.int32),
         cols=jnp.asarray([a[1].shape[1] for a in map_arts], jnp.int32),
         resol=jnp.asarray([d.param.resol for d in datasets], dtype),

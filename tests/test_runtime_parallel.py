@@ -92,6 +92,33 @@ def test_mapblock_sharded_matches_single(batch_inputs, single_ref):
                                       single_ref["n_candidates"])
 
 
+def test_sharded_u16_cache_matches_single(dataset_small, map_art):
+    """The compressed u16 field composes with both sharding schemes:
+    tp (candidate axis) trivially, and mp (cache row blocks) because
+    the partial sums are additive over the SAME quantized field -
+    psum reproduces the single-device u16 scores exactly."""
+    from lsdtpu.runtime.shard import (make_mesh_mp,
+                                      run_batch_sharded_mapblocks)
+    ds = dataset_small
+    art = (map_art.lines_info, map_art.map_cache)
+    frames, ctxs, lens = stack_batch([ds, ds], [art, art],
+                                     dtype=np.float64, max_frames=NF,
+                                     cache_dtype="u16")
+    assert ctxs.cache.dtype == np.uint16
+    f1 = jax.tree.map(lambda x: x[0], frames)
+    ctx1 = jax.tree.map(lambda x: x[0], ctxs)
+    ref = jax.tree.map(np.asarray, run_sequence(f1, ctx1, DEFAULT))
+    for runner, mesh in ((run_batch_sharded, make_mesh()),
+                         (run_batch_sharded_mapblocks, make_mesh_mp())):
+        outs = jax.tree.map(np.asarray, runner(frames, ctxs, mesh,
+                                               DEFAULT))
+        for b in range(2):
+            np.testing.assert_allclose(outs["pose"][b], ref["pose"],
+                                       atol=1e-9)
+            np.testing.assert_array_equal(outs["n_candidates"][b],
+                                          ref["n_candidates"])
+
+
 def test_tp_sharded_polish_matches_single(dataset_small, map_art,
                                           batch_inputs):
     """Pose polish under tp sharding: fuse's psum replicates the pose,
