@@ -59,7 +59,16 @@ def quantize_cache(map_cache, cache_dtype: str, z_occ_max_dis: float = 1.0,
     if cache_dtype in ("f32", "default"):
         return jnp.asarray(map_cache, float_dtype)
     if cache_dtype == "bf16":
-        return jnp.asarray(map_cache, jnp.bfloat16)
+        c = jnp.asarray(map_cache, jnp.float32)
+        b = c.astype(jnp.bfloat16)
+        # the at-cap predicate (_dequant: v >= z) must survive rounding
+        # even when bf16(z) rounds DOWN (e.g. z=0.7 -> 0.69921875):
+        # force at/above-cap cells to the smallest bf16 >= z
+        bz = jnp.asarray(z_occ_max_dis, jnp.bfloat16)
+        bz_up = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(bz, jnp.uint16) + 1, jnp.bfloat16)
+        bz = jnp.where(bz.astype(jnp.float32) >= z_occ_max_dis, bz, bz_up)
+        return jnp.where(c >= z_occ_max_dis, bz, b)
     if cache_dtype == "u16":
         q = jnp.round(jnp.clip(jnp.asarray(map_cache, jnp.float32)
                                / z_occ_max_dis, 0.0, 1.0) * U16_MAX)

@@ -173,7 +173,11 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
             max_dist_penalty=cfg.match.max_dist_penalty,
             valid_ratio=cfg.match.valid_ratio)
     elif (cfg.match.score_kernel == "pallas"
-          and jax.default_backend() != "tpu"):
+          and jax.default_backend() != "tpu"
+          and ctx.cache.dtype != jnp.uint16):
+        # (u16 fixed-point caches also fall through to the XLA path:
+        # the blueprint kernel reads the raw float field and carries no
+        # dequant scale - same fallback pattern as on real TPU)
         # Interpret-mode only: Mosaic cannot lower the kernel's
         # arbitrary-index cache gather on real TPU (probed 2026-08-18 on
         # v5e, jax 0.9.0 - see scripts/probe_pallas_tpu.py).  On TPU the

@@ -158,10 +158,18 @@ class OnlineLocalizer:
     def set_map_artifacts(self, lines_info: np.ndarray,
                           map_cache: np.ndarray, resol: float,
                           ori_x: float, ori_y: float) -> None:
+        cache_dtype = self.cfg.match.cache_dtype
+        if self.mode == "legacy" and cache_dtype not in ("f32", "default"):
+            # the legacy matcher gathers the raw float field and tests
+            # the z=2 cap by equality (match/legacy.py) - it has no
+            # dequant step, so compressed fields would score garbage
+            raise ValueError(
+                "legacy mode needs match.cache_dtype='f32' (the legacy "
+                "scorer reads the raw float field)")
         self.ctx = make_map_context(
             lines_info, map_cache, resol, ori_x, ori_y,
             max_map_lines=self.cfg.shapes.max_map_lines, dtype=self.dtype,
-            cache_dtype=self.cfg.match.cache_dtype,
+            cache_dtype=cache_dtype,
             z_occ_max_dis=self.cfg.map.z_occ_max_dis)
         self.reset()
 

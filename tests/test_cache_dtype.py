@@ -71,6 +71,53 @@ def test_bf16_rollout_tracks(dataset_small, map_art):
     assert err.max() < 2.0, f"bf16 pose drift {err.max()} px"
 
 
+def test_bf16_cap_predicate_with_unrepresentable_cap():
+    """bf16(z) can round DOWN (z=0.7 -> 0.69921875); at-cap cells must
+    still satisfy the _dequant predicate v >= z (review finding r2)."""
+    import jax.numpy as jnp
+    from lsdtpu.match.associate import _dequant, quantize_cache
+    z = 0.7
+    cache = np.array([[0.0, 0.35, z, z + 0.01]])
+    q = quantize_cache(cache, "bf16", z)
+    assert q.dtype == jnp.bfloat16
+    vals, at_cap = _dequant(q.reshape(-1), jnp.float32, z)
+    np.testing.assert_array_equal(np.asarray(at_cap),
+                                  [False, False, True, True])
+    assert abs(float(vals[1]) - 0.35) < 0.35 * 0.01
+
+
+def test_u16_with_pallas_score_kernel_falls_back(dataset_small, map_art):
+    """score_kernel='pallas' + u16 cache: the blueprint kernel has no
+    dequant scale, so the loop must route to the XLA path (same
+    fallback pattern as on real TPU) instead of scoring raw codes."""
+    import dataclasses
+    import jax
+    cfg = dataclasses.replace(
+        DEFAULT, match=dataclasses.replace(DEFAULT.match,
+                                           score_kernel="pallas"))
+    ds = dataset_small
+    ctx = make_map_context(map_art.lines_info, map_art.map_cache,
+                           ds.param.resol, ds.param.ori_x, ds.param.ori_y,
+                           dtype=np.float32, cache_dtype="u16")
+    frames = stack_frames(ds, dtype=np.float32, max_frames=8)
+    got = jax.tree.map(np.asarray, run_sequence(frames, ctx, cfg))
+    ref = jax.tree.map(np.asarray, run_sequence(frames, ctx, DEFAULT))
+    np.testing.assert_array_equal(got["pose"], ref["pose"])
+    assert np.isfinite(got["score"]).all()
+
+
+def test_legacy_mode_rejects_compressed_cache(map_art):
+    import dataclasses
+    from lsdtpu.runtime.online import OnlineLocalizer
+    cfg = dataclasses.replace(
+        DEFAULT, match=dataclasses.replace(DEFAULT.match,
+                                           cache_dtype="u16"))
+    loc = OnlineLocalizer(cfg=cfg, mode="legacy")
+    with pytest.raises(ValueError, match="legacy"):
+        loc.set_map_artifacts(map_art.lines_info, map_art.map_cache,
+                              0.05, 0.0, 0.0)
+
+
 def test_polish_rejects_u16():
     import jax.numpy as jnp
     from lsdtpu.match.polish import polish_pose
