@@ -255,6 +255,61 @@ def cmd_bench(_args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Observability driver (SURVEY.md 5.1): per-stage wall times for
+    one frame (runtime/trace.py harness), whole-rollout compile/steady
+    timing, and an optional jax.profiler device trace - where the
+    reference has only a run-level clock() (main_on_windows.cpp:17-18,
+    189-190)."""
+    import jax
+    import numpy as np
+    from lsdtpu.config import DEFAULT
+    from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
+    from lsdtpu.runtime.artifacts import prepare_map_cached
+    from lsdtpu.runtime.trace import device_trace, stage_timings
+    from lsdtpu.io import load_dataset
+
+    cfg = apply_overrides(DEFAULT, args.overrides)
+    dtype = np.float64 if args.f64 else np.float32
+    ds = load_dataset(args.data)
+    lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
+                                      z_occ_max_dis=cfg.map.z_occ_max_dis,
+                                      backend=args.mapprep,
+                                      growth=cfg.lsd.growth,
+                                      nfa_kernel=cfg.lsd.nfa_kernel)
+    ctx = make_map_context(lines, cache, ds.param.resol, ds.param.ori_x,
+                           ds.param.ori_y, dtype=dtype,
+                           cache_dtype=cfg.match.cache_dtype,
+                           z_occ_max_dis=cfg.map.z_occ_max_dis)
+    frames = stack_frames(ds, dtype=dtype, max_frames=args.frames)
+    F = frames["ranges"].shape[0]
+    f = min(max(args.frame, 0), F - 1)
+    fi = tuple(frames[k][f] for k in ("ranges", "angles", "valid", "n",
+                                      "odom_prev", "odom_cur"))
+    st = stage_timings(fi, ctx, cfg, repeats=args.repeats)
+    print(json.dumps({"per_stage_ms": {k: round(v, 4)
+                                       for k, v in st.items()},
+                      "frame": f,
+                      "note": "separately-jitted stages incl. dispatch "
+                              "overhead; relative costs only"}))
+    with device_trace(args.trace):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run_sequence(frames, ctx, cfg))
+        t_first = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run_sequence(frames, ctx, cfg))
+            best = min(best, time.perf_counter() - t0)
+    rec = {"frames": F, "compile_plus_first_s": round(t_first, 2),
+           "steady_ms": round(best * 1e3, 3),
+           "scans_per_sec": round(F / best, 1)}
+    if args.trace:
+        rec["trace_dir"] = args.trace
+    print(json.dumps(rec))
+    return 0
+
+
 def cmd_batch(args) -> int:
     import jax
     import numpy as np
@@ -370,6 +425,16 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("bench", help="headline throughput benchmark")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("profile", help="per-stage timing + device trace")
+    _add_common(p)
+    p.add_argument("--frame", type=int, default=5,
+                   help="frame index for the per-stage harness")
+    p.add_argument("--repeats", type=int, default=10)
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="write a jax.profiler device trace here "
+                        "(view with tensorboard/xprof)")
+    p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("batch", help="batched multi-sequence rollout")
     p.add_argument("--data", nargs="+", required=True)

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--backend", default="cpu",
                     choices=("cpu", "default"))
+    ap.add_argument("--cache-dtype", default="f32",
+                    choices=("f32", "bf16", "u16"),
+                    help="distance-field compression (match/associate."
+                         "py quantize_cache)")
     ap.add_argument("--roots", nargs="*", default=[
         "/root/reference/data_20190513/data_f3key/data*",
         "/root/reference/data_20190514/data_f4key/data*",
@@ -56,7 +60,8 @@ def main():
                                               backend=args.mapprep)
             ctx = make_map_context(lines, cache, ds.param.resol,
                                    ds.param.ori_x, ds.param.ori_y,
-                                   dtype=np.float32)
+                                   dtype=np.float32,
+                                   cache_dtype=args.cache_dtype)
             frames = stack_frames(ds, dtype=np.float32)
             outs = jax.block_until_ready(run_sequence(frames, ctx))
             F = frames["ranges"].shape[0]
