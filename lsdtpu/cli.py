@@ -315,21 +315,45 @@ def cmd_batch(args) -> int:
     import numpy as np
     from lsdtpu.io import load_dataset
     from lsdtpu.runtime.artifacts import prepare_map_cached
-    from lsdtpu.runtime.batch import run_batch, stack_batch
+    from lsdtpu.runtime.batch import run_batch, stack_batch, stack_concat
 
     dss = [load_dataset(p) for p in args.data]
     arts = [prepare_map_cached(d.map_value, d.param.resol,
                                backend=args.mapprep) for d in dss]
-    frames, ctxs, lens = stack_batch(dss, arts)
-    t0 = time.perf_counter()
-    outs = jax.block_until_ready(run_batch(frames, ctxs))
-    dt = time.perf_counter() - t0
-    total = int(lens.sum())
-    for b, (ds, n) in enumerate(zip(dss, lens)):
-        sc = np.asarray(outs["score"][b][:n])
-        print(json.dumps({
-            "seq": args.data[b], "frames": int(n),
-            "tracked": int(np.isfinite(sc).sum())}))
+    if args.concat:
+        # corpus replay: one lax.scan over all sequences (they must
+        # share the map; bitwise-identical to standalone rollouts)
+        from lsdtpu.runtime import make_map_context, run_sequence
+        for d in dss[1:]:
+            if not np.array_equal(d.map_value, dss[0].map_value):
+                print("--concat needs all sequences on one map",
+                      file=sys.stderr)
+                return 2
+        ds0 = dss[0]
+        ctx = make_map_context(arts[0][0], arts[0][1], ds0.param.resol,
+                               ds0.param.ori_x, ds0.param.ori_y)
+        frames, bounds = stack_concat(dss)
+        t0 = time.perf_counter()
+        outs = jax.block_until_ready(run_sequence(frames, ctx))
+        dt = time.perf_counter() - t0
+        sc = np.asarray(outs["score"])
+        for b in range(len(dss)):
+            lo, hi = bounds[b], bounds[b + 1]
+            print(json.dumps({
+                "seq": args.data[b], "frames": int(hi - lo),
+                "tracked": int(np.isfinite(sc[lo:hi]).sum())}))
+        total = int(bounds[-1])
+    else:
+        frames, ctxs, lens = stack_batch(dss, arts)
+        t0 = time.perf_counter()
+        outs = jax.block_until_ready(run_batch(frames, ctxs))
+        dt = time.perf_counter() - t0
+        total = int(lens.sum())
+        for b, (ds, n) in enumerate(zip(dss, lens)):
+            sc = np.asarray(outs["score"][b][:n])
+            print(json.dumps({
+                "seq": args.data[b], "frames": int(n),
+                "tracked": int(np.isfinite(sc).sum())}))
     print(json.dumps({"total_scans": total, "wall_s": round(dt, 2),
                       "scans_per_sec": round(total / dt, 1)}),
           file=sys.stderr)
@@ -439,6 +463,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("batch", help="batched multi-sequence rollout")
     p.add_argument("--data", nargs="+", required=True)
     p.add_argument("--mapprep", choices=("tpu", "oracle"), default="tpu")
+    p.add_argument("--concat", action="store_true",
+                   help="corpus replay: ONE lax.scan over all sequences "
+                        "(must share the map) instead of a vmap batch")
     p.set_defaults(fn=cmd_batch)
 
     p = sub.add_parser("serve", help="robot-fleet replay through the "

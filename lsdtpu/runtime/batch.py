@@ -83,3 +83,28 @@ def stack_batch(datasets: Sequence, map_arts: Sequence, cfg=DEFAULT,
         ori_x=jnp.asarray([d.param.ori_x for d in datasets], dtype),
         ori_y=jnp.asarray([d.param.ori_y for d in datasets], dtype))
     return frames, ctxs, lens
+
+
+def stack_concat(datasets: Sequence, dtype=np.float32,
+                 max_frames: Optional[int] = None):
+    """Corpus replay: concatenate sequences SHARING ONE MAP into a
+    single frame stream with per-sequence reset flags.
+
+    The whole corpus then runs as ONE `lax.scan` / one device dispatch
+    (run_sequence honors the "reset" flag by re-initializing the carry),
+    producing bitwise the same per-sequence outputs as standalone
+    rollouts - a single-dispatch alternative to the vmap batch when the
+    batch dimension is unavailable or the sequences' lengths are too
+    ragged to pad efficiently.
+
+    Returns (frames pytree with "reset", bounds): outputs split back as
+    outs[k][bounds[i]:bounds[i+1]] for sequence i.
+    """
+    fs = [stack_frames(ds, dtype=dtype, max_frames=max_frames)
+          for ds in datasets]
+    lens = [f["ranges"].shape[0] for f in fs]
+    frames = jax.tree.map(lambda *xs: np.concatenate(xs), *fs)
+    reset = np.zeros((sum(lens),), bool)
+    reset[np.cumsum([0] + lens[:-1])] = True
+    frames["reset"] = reset
+    return frames, np.cumsum([0] + lens)

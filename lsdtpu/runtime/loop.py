@@ -282,6 +282,14 @@ def run_sequence(frames, ctx: MapContext, cfg: EngineConfig = DEFAULT):
     state = init_state(frames["ranges"].dtype)
 
     def step(carry, fr):
+        if "reset" in fr:
+            # corpus replay (stack_concat): a True flag marks the first
+            # frame of a concatenated sequence - the carry is replaced
+            # by the initial state, so every sequence's rollout is
+            # bitwise the rollout it would get standalone
+            init = init_state(fr["ranges"].dtype)
+            carry = jax.tree.map(
+                lambda a, b: jnp.where(fr["reset"], a, b), init, carry)
         inputs = (fr["ranges"], fr["angles"], fr["valid"], fr["n"],
                   fr["odom_prev"], fr["odom_cur"])
         return localization_step(carry, inputs, ctx, cfg)

@@ -92,6 +92,28 @@ def test_mapblock_sharded_matches_single(batch_inputs, single_ref):
                                       single_ref["n_candidates"])
 
 
+def test_concat_corpus_matches_standalone(dataset_small, map_art):
+    """Corpus replay (stack_concat): sequences concatenated into one
+    lax.scan with reset flags must reproduce each standalone rollout
+    bitwise - the single-dispatch alternative to the vmap batch."""
+    from lsdtpu.runtime.batch import stack_concat
+    ds = dataset_small
+    ctx = make_map_context(map_art.lines_info, map_art.map_cache,
+                           ds.param.resol, ds.param.ori_x, ds.param.ori_y,
+                           dtype=np.float64)
+    frames, bounds = stack_concat([ds, ds], dtype=np.float64,
+                                  max_frames=NF)
+    assert frames["reset"].sum() == 2 and frames["reset"][NF]
+    outs = jax.tree.map(np.asarray, run_sequence(frames, ctx, DEFAULT))
+    solo = jax.tree.map(np.asarray, run_sequence(
+        stack_frames(ds, dtype=np.float64, max_frames=NF), ctx, DEFAULT))
+    for i in range(2):
+        lo, hi = bounds[i], bounds[i + 1]
+        for k in solo:
+            np.testing.assert_array_equal(outs[k][lo:hi], solo[k],
+                                          err_msg=k)
+
+
 def test_sharded_u16_cache_matches_single(dataset_small, map_art):
     """The compressed u16 field composes with both sharding schemes:
     tp (candidate axis) trivially, and mp (cache row blocks) because
