@@ -101,6 +101,9 @@ class ShapeConfig:
     # datasets is 2728 (truncation would silently weaken CalcScore)
     max_scan_pixels: int = 4096
     max_cells: int = 64            # clusters per scan (cap)
+    # rasterization step grid per scan segment (major-axis pixels);
+    # longer segments flag `overflow` (scan/featurize.py)
+    max_scan_steps: int = 512
     max_splits: int = 360          # RDP split points (absolute bound)
     # gated (scan, map, 4) hypotheses: measured max over the bundled
     # datasets is 1008 (global-relocalization first frame; tracking

@@ -166,8 +166,10 @@ def generate_candidates(scan_lines, scan_mask, map_lines, map_mask,
     rlx = (lx - sx) * ca - (ly - sy) * sa + mx
     rly = (lx - sx) * sa + (ly - sy) * ca + my
     first = last_pose[0] == -1
-    d2 = (rlx - last_pose[0]) ** 2 + (rly - last_pose[1]) ** 2
-    gate_hmm = first | (d2 < max_esti_dist * max_esti_dist)
+    # the reference gates on sqrt(d2) < maxEstiDist (myFA.cpp:330);
+    # keep the sqrt so the boundary rounding matches it bit-for-bit
+    d = jnp.sqrt((rlx - last_pose[0]) ** 2 + (rly - last_pose[1]) ** 2)
+    gate_hmm = first | (d < max_esti_dist)
     gate = gate_len[:, :, None] & gate_hmm
 
     # compact INDICES of the survivors, then gather the 9 features for
@@ -214,66 +216,27 @@ def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
     the full K cap, with bitwise-identical results (every live
     candidate is inside the looped prefix; the rest are masked to inf
     either way).
+
+    Implemented as the row0=0, full-height case of
+    score_candidates_partial + finalize_scores: the partial-sum body
+    with a whole-field "block" computes the identical (sum_d, n_valid)
+    (the extra block-row bound iy < pad_rows is implied by iy < rows),
+    so the replicated and mp-sharded paths share one scoring kernel.
     """
-    pad_rows, pad_cols = map_cache.shape
+    pad_rows, _pad_cols = map_cache.shape
     if rows is None:
         rows = pad_rows
     if cols is None:
-        cols = pad_cols
+        cols = map_cache.shape[1]
     dt = cand.ca.dtype
-    px = pixels[:, 0].astype(dt)
-    py = pixels[:, 1].astype(dt)
+    sum_d, n_valid = score_candidates_partial(
+        cand, pixels, pixels_mask, map_cache, 0, rows, cols,
+        z_occ_max_dis=z_occ_max_dis, max_dist_penalty=max_dist_penalty,
+        chunk=chunk, dynamic_chunks=dynamic_chunks)
     n_all = jnp.sum(pixels_mask).astype(dt)
-    cache_flat = map_cache.reshape(-1)
-
-    K = cand.ca.shape[0]
-    n_chunks = -(-K // chunk) if K > chunk else 1
-
-    def score_chunk(args):
-        ca, sa, sx, sy, mx, my = args
-        tx = (px[None, :] - sx[:, None]) * ca[:, None] - \
-            (py[None, :] - sy[:, None]) * sa[:, None] + mx[:, None]
-        ty = (px[None, :] - sx[:, None]) * sa[:, None] + \
-            (py[None, :] - sy[:, None]) * ca[:, None] + my[:, None]
-        ix = geo.c_round(tx).astype(jnp.int32)
-        iy = geo.c_round(ty).astype(jnp.int32)
-        inside = (ix >= 0) & (ix < cols) & (iy >= 0) & (iy < rows) & \
-            pixels_mask[None, :]
-        lin = jnp.clip(iy, 0, pad_rows - 1) * pad_cols + \
-            jnp.clip(ix, 0, pad_cols - 1)
-        vals, at_cap = _dequant(
-            jnp.take(cache_flat, lin.reshape(-1)).reshape(lin.shape),
-            dt, z_occ_max_dis)
-        contrib = jnp.where(at_cap, max_dist_penalty, vals)
-        sum_d = jnp.sum(jnp.where(inside, contrib, 0.0), axis=1)
-        n_valid = jnp.sum(inside, axis=1).astype(dt)
-        score = sum_d / n_valid + \
-            max_dist_penalty * (n_all - n_valid) / n_all
-        return jnp.where(n_valid < valid_ratio * n_all, jnp.inf, score)
-
-    args = (cand.ca, cand.sa, cand.sx, cand.sy, cand.mx, cand.my)
-    if n_chunks > 1:
-        Kp = n_chunks * chunk
-        args = jax.tree.map(
-            lambda a: jnp.concatenate(
-                [a, jnp.zeros((Kp - K,), a.dtype)]
-            ).reshape(n_chunks, chunk), args)
-        if dynamic_chunks:
-            n_live = jnp.clip(cand.count, 0, K)
-            live_chunks = (n_live + chunk - 1) // chunk
-
-            def body(i, buf):
-                s = score_chunk(jax.tree.map(lambda a: a[i], args))
-                return jax.lax.dynamic_update_slice_in_dim(
-                    buf, s, i * chunk, 0)
-
-            buf = jnp.full((Kp,), jnp.inf, dt)
-            scores = jax.lax.fori_loop(0, live_chunks, body, buf)[:K]
-        else:
-            scores = jax.lax.map(score_chunk, args).reshape(-1)[:K]
-    else:
-        scores = score_chunk(args)
-    return jnp.where(cand.mask, scores, jnp.inf)
+    return finalize_scores(cand, sum_d, n_valid, n_all,
+                           max_dist_penalty=max_dist_penalty,
+                           valid_ratio=valid_ratio)
 
 
 def score_candidates_partial(cand: Candidates, pixels, pixels_mask,

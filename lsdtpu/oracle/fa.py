@@ -235,7 +235,9 @@ def feature_association(scan_lines: np.ndarray, map_lines: np.ndarray,
     if not cands:
         return FAResult(KALMAN_RESET_X.copy(), KALMAN_RESET_P.copy(),
                         float('inf'), 0)
-    if last_pose[0] == -1:
+    # the reference tolerates |x+1| < 1e-4 here (myFA.cpp:99) though the
+    # per-candidate gate escape is an exact == -1 (myFA.cpp:330)
+    if abs(last_pose[0] + 1) < 1e-4:
         best = min(cands, key=lambda cd: cd.score)
         new_x = kalman_x.copy()
         new_x[0], new_x[1], new_x[2] = best.x, best.y, best.ang

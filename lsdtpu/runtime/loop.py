@@ -102,7 +102,8 @@ def featurize_stage(frame_inputs, ctx: MapContext,
                      thre_line=cfg.rdp.thre_line,
                      least_dist=cfg.rdp.least_dist,
                      max_lines=sh.max_scan_lines,
-                     max_pixels=sh.max_scan_pixels)
+                     max_pixels=sh.max_scan_pixels,
+                     max_steps=sh.max_scan_steps)
 
 
 def localization_step(state: TrackState, frame_inputs, ctx: MapContext,
@@ -222,7 +223,9 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
 
     # --- three-way outcome (myFA.cpp:69-175) ---
     lost = n_acc == 0
-    hmm_first = state.last_pose[0] == -1
+    # the reference's first-frame branch tolerates |x+1| < 1e-4
+    # (myFA.cpp:99), unlike the gate's exact == -1 escape (myFA.cpp:330)
+    hmm_first = jnp.abs(state.last_pose[0] + 1) < 1e-4
 
     ukf_x, ukf_P = fukf.ukf_step(state.kalman_x, state.kalman_P,
                                  scan_pose, pose_w,

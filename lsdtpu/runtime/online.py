@@ -80,7 +80,8 @@ def _legacy_step(ranges, angles, valid, n, ctx, cfg,
                    thre_line=cfg.rdp.thre_line,
                    least_dist=cfg.rdp.least_dist,
                    max_lines=cfg.shapes.max_scan_lines,
-                   max_pixels=cfg.shapes.max_scan_pixels)
+                   max_pixels=cfg.shapes.max_scan_pixels,
+                   max_steps=cfg.shapes.max_scan_steps)
     cand = mlegacy.generate_candidates_legacy(
         fs.lines, fs.lines_mask, ctx.lines, ctx.lines_mask,
         fs.lidar_pos, ctx.resol,

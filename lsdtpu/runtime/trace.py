@@ -46,7 +46,7 @@ def stage_timings(frame_inputs, ctx: MapContext,
     fs = timed("featurize_ms", jax.jit(lambda *a: featurize(
         *a, least_point=cfg.rdp.least_point, thre_line=cfg.rdp.thre_line,
         least_dist=cfg.rdp.least_dist, max_lines=sh.max_scan_lines,
-        max_pixels=sh.max_scan_pixels)),
+        max_pixels=sh.max_scan_pixels, max_steps=sh.max_scan_steps)),
         ranges, angles, valid, n, ctx.resol, ctx.ori_x, ctx.ori_y)
 
     last_pose = jnp.array([-1.0, -1.0, 0.0], ranges.dtype)

@@ -186,7 +186,9 @@ def _rdp_rounds(gwx, gwy, ranges_r, marker, interior_ok, thre_line: float,
 def _segment_pixels(x1, y1, x2, y2, x_lim, y_lim, t):
     """Analytic pixel cloud of one segment on a fixed step grid
     (reference rasterizer: myRDP.cpp:96-161).  t: (T,) step indices.
-    Returns (xx, yy, valid)."""
+    Returns (xx, yy, valid, n_steps) - n_steps is the segment's true
+    major-axis length so callers can flag truncation when it exceeds
+    the static step grid (never silent, ShapeConfig contract)."""
     xr = jnp.abs(x2 - x1)
     yr = jnp.abs(y2 - y1)
     x_low = jnp.floor(jnp.minimum(x1, x2))
@@ -210,7 +212,7 @@ def _segment_pixels(x1, y1, x2, y2, x_lim, y_lim, t):
     xx = jnp.where(in_grid, xx, 0.0)
     yy = jnp.where(in_grid, yy, 0.0)
     valid = (t < n_steps) & (xx != 0) & (yy != 0)   # (0,0)/axis sentinel drop
-    return xx, yy, valid
+    return xx, yy, valid, n_steps
 
 
 @partial(jax.jit, static_argnames=("least_point", "thre_line", "least_dist",
@@ -291,7 +293,7 @@ def featurize(ranges, angles, valid, n, resol, ori_x, ori_y,
 
     # --- pixel cloud on (S, T) grid, then compact ---
     t = jnp.arange(max_steps, dtype=dtype)
-    px_x, px_y, px_ok = jax.vmap(
+    px_x, px_y, px_ok, n_steps = jax.vmap(
         lambda e, m: _segment_pixels(e[0], e[1], e[2], e[3],
                                      x_lim, y_lim, t)
     )(seg_ends, lines_mask)
@@ -299,11 +301,15 @@ def featurize(ranges, angles, valid, n, resol, ori_x, ori_y,
     flat = jnp.stack([px_x.reshape(-1), px_y.reshape(-1)], axis=-1)
     pix, pixels_mask, n_pix = geo.masked_compact(
         flat, px_ok.reshape(-1), max_pixels)
+    # a live segment longer than the static step grid would rasterize
+    # only its first max_steps pixels - flag it, never truncate silently
+    step_overflow = jnp.any(lines_mask & (n_steps > max_steps))
     return ScanFeatures(
         lines=lines, lines_mask=lines_mask,
         pixels=pix.astype(jnp.int32), pixels_mask=pixels_mask,
         lidar_pos=lidar_pos, n_pixels=n_pix.astype(jnp.int32),
-        overflow=(n_segs > max_lines) | (n_pix > max_pixels))
+        overflow=(n_segs > max_lines) | (n_pix > max_pixels)
+        | step_overflow)
 
 
 jax.tree_util.register_pytree_node(

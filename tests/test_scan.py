@@ -92,3 +92,27 @@ def test_featurize_random_scans_match_oracle(dataset_small):
             ws = want[np.lexsort(want[:, 4:6].T)]
             np.testing.assert_allclose(gs, ws, atol=1e-9,
                                        err_msg=f"trial {trial}")
+
+
+def test_featurize_flags_step_grid_truncation(dataset_small):
+    """A segment longer than the static max_steps grid would silently
+    lose its tail pixels; the overflow flag must fire instead
+    (ShapeConfig contract: caps are never silent).  Same scan under an
+    ample grid must not flag."""
+    import jax.numpy as jnp
+    from lsdtpu.scan.featurize import featurize
+    ds = dataset_small
+    n = 180
+    angles = np.linspace(0.1, np.pi - 0.1, n)
+    ranges = np.abs(3.0 / np.sin(angles)) + 0.01  # long straight wall
+    ranges = np.minimum(ranges, 25.0)
+    N = 360
+    r = np.zeros(N); a = np.zeros(N); v = np.zeros(N, bool)
+    r[:n] = ranges; a[:n] = angles; v[:n] = True
+    args = (jnp.asarray(r), jnp.asarray(a), jnp.asarray(v),
+            jnp.asarray(n), jnp.asarray(ds.param.resol),
+            jnp.asarray(ds.param.ori_x), jnp.asarray(ds.param.ori_y))
+    tight = featurize(*args, max_steps=8)
+    ample = featurize(*args, max_steps=4096)
+    assert bool(tight.overflow)
+    assert not bool(ample.overflow)
