@@ -35,8 +35,17 @@ def initialize(coordinator_address: Optional[str] = None,
         int(os.environ.get("JAX_NUM_PROCESSES", "1"))
     if n <= 1:
         return
-    pid = process_id if process_id is not None else \
-        int(os.environ.get("JAX_PROCESS_ID", "0"))
+    pid_env = os.environ.get("JAX_PROCESS_ID")
+    if process_id is not None:
+        pid = process_id
+    elif pid_env is not None:
+        pid = int(pid_env)
+    else:
+        # defaulting to 0 on every host would give the coordinator
+        # duplicate process ids and hang the job with no hint why
+        raise ValueError(
+            f"num_processes={n} but no process_id: pass process_id= or "
+            "set JAX_PROCESS_ID per host")
     jax.distributed.initialize(coordinator_address=addr,
                                num_processes=n, process_id=pid)
 
@@ -50,7 +59,20 @@ def make_pod_mesh(inner: str = TP_AXIS):
     import jax
     from jax.sharding import Mesh
     assert inner in (TP_AXIS, MP_AXIS)
-    devs = np.array(jax.devices())
+    devs = jax.devices()
     n_hosts = max(1, jax.process_count())
+    if len(devs) % n_hosts:
+        raise ValueError(f"{len(devs)} devices not divisible by "
+                         f"{n_hosts} hosts")
     local = len(devs) // n_hosts
-    return Mesh(devs.reshape(n_hosts, local), (DP_AXIS, inner))
+    # group rows by owning host explicitly: jax.devices() global order
+    # is not guaranteed host-major, and a row mixing hosts would put
+    # the per-frame psum fusion on DCN instead of ICI
+    by_host: dict = {}
+    for d in devs:
+        by_host.setdefault(d.process_index, []).append(d)
+    rows = [by_host[p] for p in sorted(by_host)]
+    if len(rows) != n_hosts or any(len(r) != local for r in rows):
+        raise ValueError("devices are not evenly spread over hosts: "
+                         + str({p: len(r) for p, r in by_host.items()}))
+    return Mesh(np.array(rows), (DP_AXIS, inner))

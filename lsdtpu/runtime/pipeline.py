@@ -34,6 +34,9 @@ PP_AXIS = "pp"
 
 def make_mesh_pp() -> Mesh:
     devs = jax.devices()[:2]
+    if len(devs) < 2:
+        raise ValueError("pipeline parallelism needs >= 2 devices "
+                         f"(have {len(devs)})")
     return Mesh(np.array(devs), (PP_AXIS,))
 
 
@@ -42,24 +45,20 @@ def _as_inputs(d):
             d["odom_prev"], d["odom_cur"])
 
 
-def run_sequence_pipelined(frames, ctx: MapContext, mesh: Mesh,
-                           cfg: EngineConfig = DEFAULT):
-    """2-stage pipelined rollout; returns the same outputs dict as
-    run_sequence.  frames: dict with leading (F, ...) frame axis."""
-    dt = frames["ranges"].dtype
+# cached jitted runner per (mesh, cfg): a fresh shard_map+jit closure
+# per call would bake the frame stacks and the map cache into the HLO
+# as constants AND miss the compile cache on every invocation
+_RUNNERS: dict = {}
 
-    def pad(x, front: bool):
-        z = jnp.zeros_like(x[:1])
-        return jnp.concatenate([z, x] if front else [x, z], axis=0)
 
-    # step s (s = 0..F): stage A featurizes frame s (dummy at s=F);
-    # stage B matches frame s-1 (dummy warm-up at s=0)
-    feat_in = {k: pad(jnp.asarray(v), front=False)
-               for k, v in frames.items()}
-    match_in = {k: pad(jnp.asarray(v), front=True)
-                for k, v in frames.items()}
+def _runner(mesh: Mesh, cfg: EngineConfig):
+    key = (mesh, cfg)
+    fn = _RUNNERS.get(key)
+    if fn is not None:
+        return fn
 
-    def device_fn(_token):
+    def device_fn(_token, feat_in, match_in, ctx):
+        dt = feat_in["ranges"].dtype
         rank = jax.lax.axis_index(PP_AXIS)
         dummy = tuple(jnp.zeros_like(v[0]) for v in _as_inputs(feat_in))
         fs0 = featurize_stage(dummy, ctx, cfg)
@@ -98,8 +97,29 @@ def run_sequence_pipelined(frames, ctx: MapContext, mesh: Mesh,
                                 (feat_in, match_in, warmups))
         return jax.tree.map(lambda x: x[None], outs)   # (1, F+1, ...)
 
-    fn = shard_map(device_fn, mesh=mesh, in_specs=(P(PP_AXIS),),
-                   out_specs=P(PP_AXIS), check_vma=False)
-    outs = jax.jit(fn)(jnp.zeros((2,), dt))
+    sfn = shard_map(device_fn, mesh=mesh,
+                    in_specs=(P(PP_AXIS), P(), P(), P()),
+                    out_specs=P(PP_AXIS), check_vma=False)
+    fn = _RUNNERS[key] = jax.jit(sfn)
+    return fn
+
+
+def run_sequence_pipelined(frames, ctx: MapContext, mesh: Mesh,
+                           cfg: EngineConfig = DEFAULT):
+    """2-stage pipelined rollout; returns the same outputs dict as
+    run_sequence.  frames: dict with leading (F, ...) frame axis."""
+    dt = frames["ranges"].dtype
+
+    def pad(x, front: bool):
+        z = jnp.zeros_like(x[:1])
+        return jnp.concatenate([z, x] if front else [x, z], axis=0)
+
+    # step s (s = 0..F): stage A featurizes frame s (dummy at s=F);
+    # stage B matches frame s-1 (dummy warm-up at s=0)
+    feat_in = {k: pad(jnp.asarray(v), front=False)
+               for k, v in frames.items()}
+    match_in = {k: pad(jnp.asarray(v), front=True)
+                for k, v in frames.items()}
+    outs = _runner(mesh, cfg)(jnp.zeros((2,), dt), feat_in, match_in, ctx)
     # rank 1 holds the real outputs; drop the warm-up step
     return jax.tree.map(lambda x: x[1][1:], outs)

@@ -44,17 +44,24 @@ class SessionPool:
 
     def __init__(self, capacity: int, canvas_hw, cfg: EngineConfig = DEFAULT,
                  dtype=np.float32):
+        from lsdtpu.match.associate import quantize_cache
         self.capacity = capacity
         self.cfg = cfg
         self.dtype = dtype
         self.H, self.W = canvas_hw
         M = cfg.shapes.max_map_lines
         z = jnp.zeros
+        # honor match.cache_dtype like make_map_context does (the
+        # compressed field is per-POOL: all slots share one dtype)
+        self._quantize = lambda c: quantize_cache(
+            c, cfg.match.cache_dtype, cfg.map.z_occ_max_dis,
+            float_dtype=dtype)
         self._ctxs = MapContext(
             lines=z((capacity, M, 10), dtype),
             lines_mask=z((capacity, M), bool),
-            cache=jnp.full((capacity, self.H, self.W),
-                           cfg.map.z_occ_max_dis, dtype),
+            cache=self._quantize(np.full(
+                (capacity, self.H, self.W), cfg.map.z_occ_max_dis,
+                np.float32)),
             rows=z((capacity,), jnp.int32), cols=z((capacity,), jnp.int32),
             resol=jnp.ones((capacity,), dtype),
             ori_x=z((capacity,), dtype), ori_y=z((capacity,), dtype))
@@ -76,16 +83,21 @@ class SessionPool:
         if h > self.H or w > self.W:
             raise ValueError(f"map {h}x{w} exceeds canvas "
                              f"{self.H}x{self.W}")
-        slot = self._free.pop(0)
         M = self.cfg.shapes.max_map_lines
+        if len(lines_info) > M:
+            # caps are never silent (ShapeConfig contract)
+            raise ValueError(f"map has {len(lines_info)} lines > "
+                             f"shapes.max_map_lines={M}; raise the cap")
+        slot = self._free.pop(0)
         lines = np.zeros((M, 10), self.dtype)
         mask = np.zeros((M,), bool)
-        k = min(len(lines_info), M)
-        lines[:k] = lines_info[:k]
+        k = len(lines_info)
+        lines[:k] = lines_info
         mask[:k] = True
         cache = np.full((self.H, self.W), self.cfg.map.z_occ_max_dis,
-                        self.dtype)
+                        np.float32)
         cache[:h, :w] = map_cache
+        cache = self._quantize(cache)
 
         def set_slot(arr, val):
             return arr.at[slot].set(val)
@@ -122,16 +134,25 @@ class SessionPool:
                     odom: Optional[np.ndarray] = None) -> None:
         slot = self._sessions[sid]
         N = self.cfg.shapes.points_per_scan
-        n = min(len(ranges), N)
+        n = len(ranges)
+        if n > N:
+            # caps are never silent (ShapeConfig contract)
+            raise ValueError(f"scan has {n} points > "
+                             f"shapes.points_per_scan={N}; raise the cap")
         r = np.zeros(N, self.dtype)
         a = np.zeros(N, self.dtype)
         v = np.zeros(N, bool)
-        r[:n] = ranges[:n]
+        r[:n] = ranges
         a[:n] = angles[:n]
         v[:n] = True
         odom = np.zeros(3, self.dtype) if odom is None else \
             np.asarray(odom, self.dtype)
         prev = self._prev_odom.get(sid, odom)
+        if slot in self._pending:
+            # overwriting an unprocessed scan: keep ITS prev (the last
+            # odometry the filter actually consumed), or the dropped
+            # scan's motion would vanish from the UKF prediction
+            prev = self._pending[slot][4]
         self._pending[slot] = (r, a, v, n, prev, odom)
         self._prev_odom[sid] = odom
 

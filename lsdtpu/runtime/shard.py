@@ -51,11 +51,13 @@ def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None
         devs = devs[:n_devices]
     n = len(devs)
     if dp is None:
+        # largest power-of-two divisor with dp <= tp (dp divides n by
+        # construction: it only doubles while n % (dp*2) == 0)
         dp = 1
         while dp * 2 <= n // (dp * 2) and n % (dp * 2) == 0:
             dp *= 2
-        while n % dp != 0:
-            dp //= 2
+    elif n % dp != 0:
+        raise ValueError(f"dp={dp} does not divide {n} devices")
     tp = n // dp
     arr = np.array(devs).reshape(dp, tp)
     return Mesh(arr, (DP_AXIS, TP_AXIS))
@@ -105,6 +107,51 @@ def _pad_to_mesh(frames, ctxs: MapContext, n_dp: int, n_tp: int):
     return frames, ctxs, B
 
 
+# jitted runners cached by (mesh, cfg, kind): a fresh closure per call
+# would never hit XLA's compile cache (jit keys on function identity),
+# so every invocation would re-trace + recompile the whole rollout
+_RUNNERS: dict = {}
+
+
+def _runner(mesh: Mesh, cfg: EngineConfig, kind: str):
+    key = (mesh, cfg, kind)
+    fn = _RUNNERS.get(key)
+    if fn is not None:
+        return fn
+    axis_kw = dict(tp_axis=TP_AXIS) if kind == "tp" else \
+        dict(mp_axis=MP_AXIS)
+
+    def device_fn(fr, cx):
+        # local shapes: fr (B/dp, F, ...); tp: cx.lines (B/dp, M/tp, 10);
+        # mp: cx.cache (B/dp, H/mp, W)
+        def one_seq(fr1, cx1):
+            state = init_state(fr1["ranges"].dtype)
+
+            def step(carry, f):
+                inputs = (f["ranges"], f["angles"], f["valid"], f["n"],
+                          f["odom_prev"], f["odom_cur"])
+                return localization_step(carry, inputs, cx1, cfg,
+                                         **axis_kw)
+
+            _s, outs = jax.lax.scan(step, state, fr1)
+            return outs
+
+        return jax.vmap(one_seq)(fr, cx)
+
+    if kind == "tp":
+        ctx_spec = _ctx_spec()
+    else:
+        ctx_spec = MapContext(
+            lines=P(DP_AXIS), lines_mask=P(DP_AXIS),
+            cache=P(DP_AXIS, MP_AXIS), rows=P(DP_AXIS), cols=P(DP_AXIS),
+            resol=P(DP_AXIS), ori_x=P(DP_AXIS), ori_y=P(DP_AXIS))
+    sfn = shard_map(device_fn, mesh=mesh,
+                    in_specs=(_frames_spec(), ctx_spec),
+                    out_specs=_out_spec(), check_vma=False)
+    fn = _RUNNERS[key] = jax.jit(sfn)
+    return fn
+
+
 def run_batch_sharded(frames, ctxs: MapContext, mesh: Mesh,
                       cfg: EngineConfig = DEFAULT):
     """Sharded batched rollout.
@@ -116,28 +163,8 @@ def run_batch_sharded(frames, ctxs: MapContext, mesh: Mesh,
     """
     frames, ctxs, B = _pad_to_mesh(frames, ctxs, mesh.shape[DP_AXIS],
                                    mesh.shape[TP_AXIS])
-
-    def device_fn(fr, cx):
-        # local shapes: fr (B/dp, F, ...); cx.lines (B/dp, M/tp, 10)
-        def one_seq(fr1, cx1):
-            state = init_state(fr1["ranges"].dtype)
-
-            def step(carry, f):
-                inputs = (f["ranges"], f["angles"], f["valid"], f["n"],
-                          f["odom_prev"], f["odom_cur"])
-                return localization_step(carry, inputs, cx1, cfg,
-                                         tp_axis=TP_AXIS)
-
-            _s, outs = jax.lax.scan(step, state, fr1)
-            return outs
-
-        return jax.vmap(one_seq)(fr, cx)
-
-    fn = shard_map(device_fn, mesh=mesh,
-                   in_specs=(_frames_spec(), _ctx_spec()),
-                   out_specs=_out_spec(), check_vma=False)
     with mesh:
-        outs = jax.jit(fn)(frames, ctxs)
+        outs = _runner(mesh, cfg, "tp")(frames, ctxs)
     return jax.tree.map(lambda a: a[:B], outs)
 
 
@@ -169,29 +196,6 @@ def run_batch_sharded_mapblocks(frames, ctxs: MapContext, mesh: Mesh,
     if pad:
         ctxs = dataclasses.replace(
             ctxs, cache=jnp.pad(ctxs.cache, ((0, 0), (0, pad), (0, 0))))
-
-    def device_fn(fr, cx):
-        def one_seq(fr1, cx1):
-            state = init_state(fr1["ranges"].dtype)
-
-            def step(carry, f):
-                inputs = (f["ranges"], f["angles"], f["valid"], f["n"],
-                          f["odom_prev"], f["odom_cur"])
-                return localization_step(carry, inputs, cx1, cfg,
-                                         mp_axis=MP_AXIS)
-
-            _s, outs = jax.lax.scan(step, state, fr1)
-            return outs
-
-        return jax.vmap(one_seq)(fr, cx)
-
-    ctx_spec = MapContext(
-        lines=P(DP_AXIS), lines_mask=P(DP_AXIS),
-        cache=P(DP_AXIS, MP_AXIS), rows=P(DP_AXIS), cols=P(DP_AXIS),
-        resol=P(DP_AXIS), ori_x=P(DP_AXIS), ori_y=P(DP_AXIS))
-    fn = shard_map(device_fn, mesh=mesh,
-                   in_specs=(_frames_spec(), ctx_spec),
-                   out_specs=_out_spec(), check_vma=False)
     with mesh:
-        outs = jax.jit(fn)(frames, ctxs)
+        outs = _runner(mesh, cfg, "mp")(frames, ctxs)
     return jax.tree.map(lambda a: a[:B], outs)

@@ -88,3 +88,69 @@ def test_serve_cli_fleet_replay(data_root, capsys):
     for i, rec in enumerate(recs):
         assert rec["robot"] == i
         assert rec["frames"] == 6 and rec["tracked"] == 6
+
+
+def test_pool_overwrite_keeps_dropped_scans_motion(dataset_small, map_art):
+    """A robot publishing faster than the pool ticks overwrites its
+    pending scan; the filter must still see the odometry delta from the
+    last PROCESSED scan, not from the dropped one (review finding r2).
+    Equivalent single-session reference: push only the frames that
+    actually get processed - the in-between odometry is spanned."""
+    ds = dataset_small
+    NF = 6
+    loc = OnlineLocalizer(dtype=np.float64)
+    loc.set_map_artifacts(map_art.lines_info, map_art.map_cache,
+                          ds.param.resol, ds.param.ori_x, ds.param.ori_y)
+    want = []
+    for f in range(0, NF, 2):  # the pool only ever processes even frames
+        fr = ds.frames[f]
+        want.append(loc.push_scan(fr[:, 0], fr[:, 1],
+                                  ds.odom[f + 1])["pose"])
+
+    pool = SessionPool(capacity=2, canvas_hw=map_art.map_cache.shape,
+                       dtype=np.float64)
+    pool.open_session("a", map_art.lines_info, map_art.map_cache,
+                      ds.param.resol, ds.param.ori_x, ds.param.ori_y)
+    got = []
+    for f in range(0, NF, 2):
+        # an odd frame is submitted first, then overwritten before step
+        if f > 0:
+            fo = ds.frames[f - 1]
+            pool.submit_scan("a", fo[:, 0], fo[:, 1], ds.odom[f])
+        fr = ds.frames[f]
+        pool.submit_scan("a", fr[:, 0], fr[:, 1], ds.odom[f + 1])
+        got.append(pool.step()["a"]["pose"])
+    np.testing.assert_allclose(np.stack(got), np.stack(want), atol=1e-9)
+
+
+def test_pool_rejects_cap_overflow(dataset_small, map_art):
+    ds = dataset_small
+    pool = SessionPool(capacity=2, canvas_hw=map_art.map_cache.shape)
+    pool.open_session("a", map_art.lines_info, map_art.map_cache,
+                      ds.param.resol, ds.param.ori_x, ds.param.ori_y)
+    with pytest.raises(ValueError, match="points_per_scan"):
+        pool.submit_scan("a", np.ones(1081), np.zeros(1081))
+    with pytest.raises(ValueError, match="max_map_lines"):
+        pool.open_session("b", np.zeros((300, 10)), map_art.map_cache,
+                          ds.param.resol, ds.param.ori_x, ds.param.ori_y)
+
+
+def test_pool_honors_cache_dtype(dataset_small, map_art):
+    """match.cache_dtype must reach the pool's field like it reaches
+    make_map_context (review finding r2)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from lsdtpu.config import DEFAULT
+    ds = dataset_small
+    cfg = dataclasses.replace(
+        DEFAULT, match=dataclasses.replace(DEFAULT.match,
+                                           cache_dtype="u16"))
+    pool = SessionPool(capacity=1, canvas_hw=map_art.map_cache.shape,
+                       cfg=cfg)
+    assert pool._ctxs.cache.dtype == jnp.uint16
+    pool.open_session("a", map_art.lines_info, map_art.map_cache,
+                      ds.param.resol, ds.param.ori_x, ds.param.ori_y)
+    fr = ds.frames[0]
+    pool.submit_scan("a", fr[:, 0], fr[:, 1], ds.odom[1])
+    res = pool.step()
+    assert np.isfinite(res["a"]["score"])
