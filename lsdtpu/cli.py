@@ -224,15 +224,26 @@ def cmd_refine(args) -> int:
     scores = outs["score"].astype(np.float64)
     u = outs["scan_pose"].astype(np.float64)
     F = meas.shape[0]
-    if args.segments > 1 and F % args.segments == 0 and \
-            F // args.segments >= 2:
+    segments = args.segments
+    if segments > 1 and (F % segments or F // segments < 2):
+        # pad with zero-weight frames to the segment grid (the
+        # pose_graph contract) rather than silently changing solver
+        pad = (-F) % segments
+        if F // segments < 2:
+            pad = max(pad, 2 * segments - F)
+            pad += (-(F + pad)) % segments
+        meas = np.concatenate([meas, np.full((pad, 3), np.nan)])
+        scores = np.concatenate([scores, np.full((pad,), np.inf)])
+        u = np.concatenate([u, np.zeros((pad, 3))])
+    if segments > 1:
         refined, info = refine_trajectory_distributed(
-            meas, scores, u, n_segments=args.segments)
+            meas, scores, u, n_segments=segments)
+        refined = refined[:F]
     else:
         refined, info = refine_trajectory(meas, scores, u)
-    refined = np.asarray(refined)
+    refined = np.asarray(refined)[:F]
     rec = {"frames": F, "n_measured": int(info["n_measured"]),
-           "segments": args.segments}
+           "segments": segments}
     if ds.real_pos is not None:
         for name, poses in (("online", outs["pose"]), ("refined", refined)):
             a = eval_ate.keyframe_ate(poses, ds.real_pos,
@@ -250,7 +261,20 @@ def cmd_refine(args) -> int:
 
 
 def cmd_bench(_args) -> int:
-    import bench
+    import os
+    try:
+        import bench
+    except ImportError:
+        # bench.py lives at the repo root, not inside the package; make
+        # `lsdtpu bench` work from any CWD when run from a checkout
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if not os.path.exists(os.path.join(repo, "bench.py")):
+            print("bench.py not found (it ships with the repo checkout, "
+                  "not the installed package) - run it from the repo: "
+                  "python bench.py", file=sys.stderr)
+            return 2
+        sys.path.insert(0, repo)
+        import bench
     bench.main()
     return 0
 
@@ -387,7 +411,9 @@ def cmd_serve(args) -> int:
     t0 = time.perf_counter()
     for f in range(F):
         for i, ds in enumerate(dss):
-            if f < len(ds.frames):
+            # same guard as stack_frames: a dataset can have fewer
+            # odometry rows than lidar frames
+            if f < len(ds.frames) and f + 1 < ds.odom.shape[0]:
                 fr = ds.frames[f]
                 pool.submit_scan(f"robot{i}", fr[:, 0], fr[:, 1],
                                  ds.odom[f + 1])

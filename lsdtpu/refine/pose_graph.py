@@ -78,6 +78,12 @@ def _normal_system(meas, scores, scan_pose, odom_weight,
     has_next = (jnp.arange(F) < F - 1).astype(dt)
     D = (w_meas[:, None, None] * I3 +
          (has_prev + has_next)[:, None, None] * jnp.diag(Wu))
+    # with NO measured frame the system is the anchorless chain
+    # Laplacian (singular: the last Schur block is exactly 0) and the
+    # solve would return NaN for every pose; anchor pose 0 at the
+    # origin in that case - the result is then pure odometry
+    # dead-reckoning, and info["n_measured"]==0 tells callers so
+    D = D.at[0].add(jnp.where(any_ok, 0.0, 1.0) * I3)
     U = -jnp.diag(Wu)
 
     # rhs: w m_t + Wu u_t (pair t-1,t) - Wu u_{t+1} (pair t,t+1)
@@ -98,39 +104,11 @@ def refine_trajectory(meas, scores, scan_pose,
     map pixel coords (frame t's delta from t-1).
     Returns (refined (F, 3), info dict).
     """
-    F = meas.shape[0]
-    dt = meas.dtype
     D, U, rhs, ok, w_meas = _normal_system(meas, scores, scan_pose,
                                            odom_weight, max_meas_weight)
-
-    # block Thomas: forward elimination (sequential Schur complements)
-    def fwd(carry, inp):
-        Sprev, yprev, first = carry
-        Dt, bt = inp
-        # S_t = D_t - U^T Sprev^{-1} U  (U symmetric diagonal)
-        corr = jnp.where(first, jnp.zeros((3, 3), dt),
-                         U.T @ jnp.linalg.solve(Sprev, U))
-        bcorr = jnp.where(first, jnp.zeros(3, dt),
-                          U.T @ jnp.linalg.solve(Sprev, yprev))
-        St = Dt - corr
-        yt = bt - bcorr
-        return (St, yt, jnp.zeros((), bool)), (St, yt)
-
-    (_, _, _), (S, y) = jax.lax.scan(
-        fwd, (jnp.eye(3, dtype=dt), jnp.zeros(3, dt),
-              jnp.ones((), bool)), (D, rhs))
-
-    # back substitution
-    def bwd(x_next, inp):
-        St, yt, last = inp
-        rhs_t = jnp.where(last, yt, yt - U @ x_next)
-        x_t = jnp.linalg.solve(St, rhs_t)
-        return x_t, x_t
-
-    is_last = jnp.arange(F) == F - 1
-    _, xs = jax.lax.scan(bwd, jnp.zeros(3, dt), (S, y, is_last),
-                         reverse=True)
-
+    # one shared block-Thomas kernel (U is symmetric, so the multi-rhs
+    # form is numerically identical to the hand-rolled elimination)
+    xs = _thomas_multi(D, U, rhs[:, :, None])[:, :, 0]
     refined = xs.at[:, 2].set(_wrap_deg(xs[:, 2]))
     info = {"n_measured": jnp.sum(ok),
             "mean_weight": jnp.sum(w_meas) / jnp.maximum(jnp.sum(ok), 1)}

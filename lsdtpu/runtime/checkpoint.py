@@ -21,9 +21,17 @@ _FIELDS = ("kalman_x", "kalman_P", "last_pose", "ang_sum", "ang_cnt",
            "is_offset", "frame")
 
 
-def save_state(path: str, state: TrackState) -> None:
-    """Atomic write (tmp + rename) of the tracking carry."""
+def save_state(path: str, state: TrackState, prev_odom=None) -> None:
+    """Atomic write (tmp + rename) of the tracking carry.
+
+    prev_odom: the session's last-consumed odometry (the anchor the
+    next scan's delta is computed against) - REQUIRED for a faithful
+    mid-trajectory resume of an OnlineLocalizer (its first post-resume
+    scan_pose would otherwise be zero); omit only when checkpointing a
+    bare TrackState whose caller tracks odometry itself."""
     arrs = {f: np.asarray(getattr(state, f)) for f in _FIELDS}
+    if prev_odom is not None:
+        arrs["prev_odom"] = np.asarray(prev_odom)
     d = os.path.dirname(os.path.abspath(path))
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
@@ -38,15 +46,23 @@ def save_state(path: str, state: TrackState) -> None:
 
 
 def load_state(path: str, dtype=None) -> TrackState:
-    z = np.load(path)
+    return load_session(path, dtype)[0]
+
+
+def load_session(path: str, dtype=None):
+    """Returns (TrackState, prev_odom or None)."""
     import jax.numpy as jnp
-    kw = {}
-    for f in _FIELDS:
-        a = z[f]
-        if dtype is not None and a.dtype.kind == "f":
-            a = a.astype(dtype)
-        kw[f] = jnp.asarray(a)
-    return TrackState(**kw)
+    with np.load(path) as z:
+        kw = {}
+        for f in _FIELDS:
+            a = z[f]
+            if dtype is not None and a.dtype.kind == "f":
+                a = a.astype(dtype)
+            kw[f] = jnp.asarray(a)
+        prev = z["prev_odom"] if "prev_odom" in z.files else None
+        if prev is not None and dtype is not None:
+            prev = prev.astype(dtype)
+    return TrackState(**kw), prev
 
 
 def save_state_orbax(path: str, state: TrackState) -> None:

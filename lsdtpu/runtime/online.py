@@ -188,11 +188,15 @@ class OnlineLocalizer:
         if not self.is_map_ready:
             raise RuntimeError("map not set (isMapReady guard)")
         N = self.cfg.shapes.points_per_scan
-        n = min(len(ranges), N)
+        n = len(ranges)
+        if n > N:
+            # caps are never silent (ShapeConfig contract)
+            raise ValueError(f"scan has {n} points > "
+                             f"shapes.points_per_scan={N}; raise the cap")
         r = np.zeros(N, self.dtype)
         a = np.zeros(N, self.dtype)
         v = np.zeros(N, bool)
-        r[:n] = ranges[:n]
+        r[:n] = ranges
         a[:n] = angles[:n]
         v[:n] = True
 
@@ -211,8 +215,21 @@ class OnlineLocalizer:
         self.state, out = _step(self.state, inputs, self.ctx, self.cfg)
         self._prev_odom = odom
         res = {k: np.asarray(val) for k, val in out.items()}
-        res["pose_world"] = np.array([
-            res["pose"][0] * float(self.ctx.resol) + float(self.ctx.ori_x),
-            res["pose"][1] * float(self.ctx.resol) + float(self.ctx.ori_y),
-            res["pose"][2]])
+        from lsdtpu.eval.ate import pixel_to_world
+        xy = pixel_to_world(res["pose"][None], float(self.ctx.resol),
+                            float(self.ctx.ori_x), float(self.ctx.ori_y))
+        res["pose_world"] = np.array([xy[0, 0], xy[0, 1], res["pose"][2]])
         return res
+
+    # -- checkpoint / resume (runtime/checkpoint.py) ---------------------
+    def save(self, path: str) -> None:
+        """Checkpoint the full session carry: TrackState AND the
+        odometry anchor, so restore() resumes mid-trajectory with the
+        correct first scan_pose delta."""
+        from lsdtpu.runtime.checkpoint import save_state
+        save_state(path, self.state, prev_odom=self._prev_odom)
+
+    def restore(self, path: str) -> None:
+        from lsdtpu.runtime.checkpoint import load_session
+        self.state, prev = load_session(path, dtype=self.dtype)
+        self._prev_odom = None if prev is None else np.asarray(prev)

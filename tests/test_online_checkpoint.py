@@ -116,13 +116,12 @@ def test_checkpoint_resume_mid_sequence(dataset_small, map_art, tmp_path):
         a.push_scan(ds.frames[f][:, 0], ds.frames[f][:, 1],
                     ds.odom[f + 1])
     ck = str(tmp_path / "state.npz")
-    save_state(ck, a.state)
+    a.save(ck)   # carries TrackState AND the odometry anchor
 
     b = OnlineLocalizer(dtype=np.float64)
     b.set_map_artifacts(map_art.lines_info, map_art.map_cache,
                         ds.param.resol, ds.param.ori_x, ds.param.ori_y)
-    b.state = load_state(ck)
-    b._prev_odom = ds.odom[CUT].astype(np.float64)
+    b.restore(ck)
     got = [b.push_scan(ds.frames[f][:, 0], ds.frames[f][:, 1],
                        ds.odom[f + 1])["pose"] for f in range(CUT, NF)]
     np.testing.assert_allclose(np.stack(got), np.stack(ref_poses[CUT:]),

@@ -133,3 +133,22 @@ def test_refine_lost_first_frame_and_wrap_gap():
     # heading through the gap should progress smoothly across the cut
     un = np.unwrap(np.deg2rad(refined[:, 2]))
     assert np.abs(np.rad2deg(np.diff(un))).max() < 5.0
+
+
+def test_refine_all_lost_is_finite():
+    """With zero measured frames the normal system is the anchorless
+    chain Laplacian; the solver must anchor pose 0 and dead-reckon the
+    odometry instead of returning NaN (review finding r2)."""
+    import numpy as np
+    from lsdtpu.refine.pose_graph import refine_trajectory
+    F = 16
+    meas = np.full((F, 3), np.nan)
+    scores = np.full((F,), np.inf)
+    u = np.tile(np.array([1.0, 0.5, 0.0]), (F, 1))
+    refined, info = refine_trajectory(meas, scores, u)
+    refined = np.asarray(refined)
+    assert np.isfinite(refined).all()
+    assert int(info["n_measured"]) == 0
+    # pure dead-reckoning from the origin anchor
+    want = np.cumsum(u, axis=0) - u[0]
+    np.testing.assert_allclose(refined[:, :2], want[:, :2], atol=1e-6)
