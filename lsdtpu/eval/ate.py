@@ -69,7 +69,14 @@ def interpolated_ate(poses_px: np.ndarray, real_pos: np.ndarray,
     world = pixel_to_world(poses_px, resol, ori_x, ori_y)
     rec = np.asarray(recorded_odom, dtype=np.int64) - 1
     gt = np.asarray(real_pos, dtype=np.float64)
-    frames = np.arange(rec[0], min(rec[-1], world.shape[0] - 1) + 1)
+    # same in-range guard as keyframe_ate (a <= 0 recorded index would
+    # otherwise wrap to the trajectory end); np.interp needs rec sorted
+    keep = (rec >= 0) & (rec < world.shape[0])
+    rec = rec[keep]
+    gt = gt[keep]
+    if rec.size == 0 or np.any(np.diff(rec) < 0):
+        return _summarize(np.empty((0,)))
+    frames = np.arange(rec[0], rec[-1] + 1)
     gx = np.interp(frames, rec, gt[:, 0])
     gy = np.interp(frames, rec, gt[:, 1])
     err = np.linalg.norm(world[frames] - np.stack([gx, gy], 1), axis=1)
@@ -87,7 +94,9 @@ def umeyama_se2(src: np.ndarray, dst: np.ndarray
     mu_d = dst.mean(axis=0)
     cov = (dst - mu_d).T @ (src - mu_s) / src.shape[0]
     U, _S, Vt = np.linalg.svd(cov)
-    d = np.sign(np.linalg.det(U @ Vt))
+    # sign(0) is 0, which would make R a rank-1 projection on exactly
+    # singular covariance (e.g. a stuck trajectory); pick +1 there
+    d = 1.0 if np.linalg.det(U @ Vt) >= 0 else -1.0
     R = U @ np.diag([1.0, d]) @ Vt
     t = mu_d - R @ mu_s
     return R, t

@@ -1,19 +1,24 @@
-"""Gaussian downsampler as two batched gather-einsum passes.
+"""Gaussian downsampler as two batched gather passes.
 
 TPU-native form of the reference's separable blur + subsample
 (reference: GaussianSampler, LSD/myLSD.cpp:378-484).  The reference
 walks output pixels and inner-products a per-phase kernel against a
 reflected window; here the reflected window indices for every output
-column are a precomputed (new_x, hSize) gather, and each pass is one
-einsum that XLA maps onto the MXU:
+column are a precomputed (new_x, hSize) gather, and each pass sums the
+hSize taps over gathered whole rows/columns:
 
     aux[y, x']  = sum_i img[y, jx[x', i]] * kx[x', i]
     out[y', x'] = sum_i aux[jy[y', i], x'] * ky[y', i]
 
-The three phase-shifted kernels (the V1.1 x%3 trick, myLSD.cpp:398-417)
-and the symmetric double-domain reflection (myLSD.cpp:434-444) are
-reproduced exactly; everything is static-shaped so the whole sampler
-jits once per map size.
+The tap sum is accumulated SEQUENTIALLY in ascending i (a small
+unrolled loop, not one einsum contraction) so the floating-point
+addition order matches the reference's scalar loop bit-for-bit
+(myLSD.cpp:428-433; XLA's only remaining deviation is FMA contraction,
+~1 ulp - see tests/test_mapprep.py).  The three phase-shifted kernels
+(the V1.1 x%3 trick, myLSD.cpp:398-417) and the symmetric
+double-domain reflection (myLSD.cpp:434-444) are reproduced exactly;
+everything is static-shaped so the whole sampler jits once per map
+size.
 """
 
 from __future__ import annotations

@@ -232,7 +232,7 @@ def line_segment_detector(map_gray: jnp.ndarray, sca: float = 0.3,
 
             ok, cur2, _rd, rec2 = mrect.refiner(
                 sx.astype(dt), sy.astype(dt), reg_deg, cur, rec, mag,
-                deg_map, ban, den_thre, deg_thre, grow_fn)
+                deg_map, den_thre, deg_thre, grow_fn)
 
             def validated(_):
                 log_nfa, rec3 = mnfa.rectangle_improver(rec2, deg_map,

@@ -33,10 +33,6 @@ def _wrap_pi(d):
     return w - PI
 
 
-def region_size(cur):
-    return jnp.sum(cur)
-
-
 def rectangle_converter(cur, seed_deg, mag, ali_pro, deg_thre: float):
     """cur: (H, W) bool region mask; seed_deg: running region angle.
     Returns rect dict (reference: RectangleConverter, myLSD.cpp:669-734)."""
@@ -125,12 +121,13 @@ def radius_reducer(seed_x, seed_y, seed_deg, cur, rec, mag,
     return out["alive"], out["cur"], out["rec"]
 
 
-def refiner(seed_x, seed_y, seed_deg, cur, rec, mag, deg_map, ban,
+def refiner(seed_x, seed_y, seed_deg, cur, rec, mag, deg_map,
             den_thre: float, deg_thre: float, grow_fn):
     """Re-estimate angle tolerance from pixels near the seed and regrow
-    (reference: Refiner, myLSD.cpp:804-880).  grow_fn(deg_thre) ->
-    (cur, reg_deg) regrows from the seed with the given tolerance.
-    Returns (ok, cur, reg_deg, rec)."""
+    (reference: Refiner, myLSD.cpp:804-880).  grow_fn(cen_deg,
+    new_thre) -> (cur, reg_deg) regrows from the seed at center angle
+    cen_deg with tolerance new_thre (the usedMap ban is the closure's
+    business - lsd.py).  Returns (ok, cur, reg_deg, rec)."""
     dt = mag.dtype
     den0 = density(cur, rec)
 

@@ -23,9 +23,16 @@ from lsdtpu import geometry as geo
 
 @partial(jax.jit, static_argnames=("rows", "cols", "max_steps"))
 def render_line_image(lines, lines_mask, rows: int, cols: int,
-                      max_steps: int = 2048) -> jnp.ndarray:
+                      max_steps: int | None = None) -> jnp.ndarray:
     """lines: (L, 10) structLinesInfo rows; returns (rows, cols) uint8
-    image with line pixels set to 255."""
+    image with line pixels set to 255.
+
+    max_steps defaults to the longest possible major-axis run on this
+    canvas (max(rows, cols) + 2), so no in-bounds line can ever be
+    truncated; pass a smaller cap only when the lines are known short
+    and the (L, T) grid must stay small."""
+    if max_steps is None:
+        max_steps = max(rows, cols) + 2
     dt = lines.dtype
     x1 = lines[:, geo.X1]
     y1 = lines[:, geo.Y1]
