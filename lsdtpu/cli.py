@@ -183,9 +183,9 @@ def cmd_prepare_map(args) -> int:
         from lsdtpu.render import render_line_image
 
         rows_, cols_ = ds.map_value.shape
+        # default max_steps = max(rows, cols)+2: never truncates
         line_im = np.asarray(render_line_image(
-            jnp.asarray(lines), jnp.ones(len(lines), bool), rows_, cols_,
-            max_steps=max(rows_, cols_)))  # never truncate long wall lines
+            jnp.asarray(lines), jnp.ones(len(lines), bool), rows_, cols_))
         dumped = dump_map_artifacts(args.dump, lines, cache, line_im)
     print(json.dumps({"lines": len(lines),
                       "cache_shape": list(cache.shape),

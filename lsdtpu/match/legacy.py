@@ -124,6 +124,13 @@ def score_candidates_legacy(cand: Candidates, ranges, angles, valid, n,
         iy = jnp.clip(gy, 0, pad_rows - 1).astype(jnp.int32)
         vals = jnp.take(cache_flat, (iy * pad_cols + ix).reshape(-1)
                         ).reshape(gx.shape)
+        # exact equality is the reference semantic (the cap INIT value,
+        # FeatureAssociation.cpp:238-242; above-cap stored distances
+        # stay in the dist sum).  In f32 a below-cap value within
+        # 2^-23 of the cap would round onto it, but BFS distances are
+        # sqrt(int)*res-spaced ~1e-3 near z=2 on these maps, so the
+        # cast preserves the predicate; quantized caches are rejected
+        # upstream (online.py set_map_artifacts).
         at_cap = inb & (vals == z_occ_max_dis)
         scanlen = jnp.sum(inb, axis=1).astype(dt)
         max_count = jnp.sum(at_cap, axis=1).astype(dt)

@@ -72,6 +72,7 @@ def _score_kernel(meta_ref, cand_ref, px_ref, py_ref, pmask_ref,
     py = py_ref[:]
     pmask = pmask_ref[:] > 0.0
     cache_flat = cache_ref[:].reshape(-1)
+    n_all = jnp.sum(jnp.where(pmask, 1.0, 0.0))   # loop-invariant
 
     def one(i, _):
         ca = cand_ref[i, 0]
@@ -94,7 +95,6 @@ def _score_kernel(meta_ref, cand_ref, px_ref, py_ref, pmask_ref,
                         mode="clip").reshape(lin.shape)
         at_cap = vals >= z_cap
         contrib = jnp.where(at_cap, penalty, vals)
-        n_all = jnp.sum(jnp.where(pmask, 1.0, 0.0))
         n_in = jnp.sum(jnp.where(inside, 1.0, 0.0))
         s = jnp.sum(jnp.where(inside, contrib, 0.0))
         score = s / n_in + penalty * (n_all - n_in) / n_all
@@ -120,6 +120,13 @@ def score_candidates_pallas(cand, pixels, pixels_mask, map_cache,
     map_cache (H, W) f32.  Returns (K,) scores.
     """
     pad_rows, pad_cols = map_cache.shape
+    if pad_rows * pad_cols >= 2 ** 24:
+        # the kernel's flat cache index is computed in f32 (the meta is
+        # SMEM f32): above 2^24 cells odd indices are not representable
+        # and the gather would silently read neighboring cells
+        raise ValueError(
+            f"map {pad_rows}x{pad_cols} exceeds the kernel's f32 index "
+            "range (2^24 cells); use the XLA scorer or mp sharding")
     if rows is None:
         rows = pad_rows
     if cols is None:
