@@ -44,6 +44,13 @@ def apply_overrides(cfg, pairs):
     def coerce(old, s):
         if isinstance(old, bool):
             return s.lower() in ("1", "true", "yes")
+        if old is None:  # e.g. match.obstacle_min_dist (None = cap)
+            if s.lower() in ("none", "null"):
+                return None
+            try:
+                return float(s)
+            except ValueError:
+                return s
         return type(old)(s)
 
     def set_path(obj, path, value):

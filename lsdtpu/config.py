@@ -65,6 +65,21 @@ class MatchConfig:
     # (bounded fori_loop; bitwise-identical - skipped chunks are fully
     # masked).  Disable to force the full static K-cap sweep.
     score_dynamic_chunks: bool = True
+    # obstacle-tolerant scoring (beyond the reference; off by default =
+    # exact reference formula): forgive up to this fraction of the
+    # scan's pixels when they land at the mapCache distance cap -
+    # dynamic obstacles (people, unmapped furniture) then drop out of
+    # the score mean instead of each charging max_dist_penalty
+    # (CalcScore, myFA.cpp:381), which is what pushes every candidate
+    # past score_accept and loses tracking in cluttered scenes.  Range
+    # [0, 0.5]; exact under tp/mp sharding (match/associate.py
+    # finalize_scores).
+    obstacle_tolerance: float = 0.0
+    # a pixel is forgivable when its field distance >= this (meters);
+    # None = the mapCache cap z_occ_max_dis (only at-cap pixels).  Set
+    # below the cap for narrow corridors where an obstacle return never
+    # reaches the cap distance from every wall.
+    obstacle_min_dist: float = None
     # sub-pixel Gauss-Newton polish of the fused pose against the
     # bilinear distance field (match/polish.py) - a capability beyond
     # the reference (its measurement is quantized to the endpoint-

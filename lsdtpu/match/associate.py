@@ -198,7 +198,9 @@ def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
                      max_dist_penalty: float = 10.0,
                      valid_ratio: float = 0.7,
                      chunk: int = 256,
-                     dynamic_chunks: bool = True) -> jnp.ndarray:
+                     dynamic_chunks: bool = True,
+                     obstacle_tolerance: float = 0.0,
+                     obstacle_min_dist: float = None) -> jnp.ndarray:
     """Score every candidate against the mapCache prior
     (reference: CalcScore, myFA.cpp:357-396).
 
@@ -229,14 +231,17 @@ def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
     if cols is None:
         cols = map_cache.shape[1]
     dt = cand.ca.dtype
-    sum_d, n_valid = score_candidates_partial(
+    sum_d, n_valid, sum_far, n_far = score_candidates_partial(
         cand, pixels, pixels_mask, map_cache, 0, rows, cols,
         z_occ_max_dis=z_occ_max_dis, max_dist_penalty=max_dist_penalty,
-        chunk=chunk, dynamic_chunks=dynamic_chunks)
+        chunk=chunk, dynamic_chunks=dynamic_chunks,
+        obstacle_min_dist=obstacle_min_dist)
     n_all = jnp.sum(pixels_mask).astype(dt)
     return finalize_scores(cand, sum_d, n_valid, n_all,
+                           sum_far=sum_far, n_far=n_far,
                            max_dist_penalty=max_dist_penalty,
-                           valid_ratio=valid_ratio)
+                           valid_ratio=valid_ratio,
+                           obstacle_tolerance=obstacle_tolerance)
 
 
 def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
@@ -244,18 +249,29 @@ def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
                              z_occ_max_dis: float = 1.0,
                              max_dist_penalty: float = 10.0,
                              chunk: int = 256,
-                             dynamic_chunks: bool = True):
+                             dynamic_chunks: bool = True,
+                             obstacle_min_dist: float = None):
     """Map-block-sharded partial scoring: this device owns cache rows
     [row0, row0 + block_h) of the global field.  Returns per-candidate
-    (sum_d, n_valid) partial sums - plain additive reductions over the
-    pixel axis, so a psum over the map axis reproduces
-    score_candidates exactly (the TPU-native form of sharding the
-    mapCache prior across hosts, SURVEY.md 5.7c/5.8)."""
+    (sum_d, n_valid, sum_far, n_far) partial sums - plain additive
+    reductions over the pixel axis, so a psum over the map axis
+    reproduces score_candidates exactly (the TPU-native form of
+    sharding the mapCache prior across hosts, SURVEY.md 5.7c/5.8).
+
+    sum_far/n_far aggregate the in-map pixels whose field distance is
+    >= obstacle_min_dist (default: the cap, i.e. exactly the
+    reference's sumMaxDist population, myFA.cpp:381): the score mass a
+    dynamic obstacle would contribute.  finalize_scores only reads
+    them in the opt-in obstacle-tolerant mode; they ride the same
+    fused pass for free (two extra masked reductions on values already
+    gathered)."""
     block_h, pad_cols = cache_block.shape
     dt = cand.ca.dtype
     px = pixels[:, 0].astype(dt)
     py = pixels[:, 1].astype(dt)
     cache_flat = cache_block.reshape(-1)
+    if obstacle_min_dist is None:
+        obstacle_min_dist = z_occ_max_dis
 
     K = cand.ca.shape[0]
     n_chunks = -(-K // chunk) if K > chunk else 1
@@ -278,7 +294,10 @@ def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
         contrib = jnp.where(at_cap, max_dist_penalty, vals)
         sum_d = jnp.sum(jnp.where(inside, contrib, 0.0), axis=1)
         n_valid = jnp.sum(inside, axis=1).astype(dt)
-        return sum_d, n_valid
+        far = inside & (at_cap | (vals >= obstacle_min_dist))
+        sum_far = jnp.sum(jnp.where(far, contrib, 0.0), axis=1)
+        n_far = jnp.sum(far, axis=1).astype(dt)
+        return sum_d, n_valid, sum_far, n_far
 
     args = (cand.ca, cand.sa, cand.sx, cand.sy, cand.mx, cand.my)
     if n_chunks > 1:
@@ -295,29 +314,58 @@ def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
             live_chunks = (n_live + chunk - 1) // chunk
 
             def body(i, bufs):
-                sd, nv = part_chunk(jax.tree.map(lambda a: a[i], args))
-                return (jax.lax.dynamic_update_slice_in_dim(
-                            bufs[0], sd, i * chunk, 0),
-                        jax.lax.dynamic_update_slice_in_dim(
-                            bufs[1], nv, i * chunk, 0))
+                parts = part_chunk(jax.tree.map(lambda a: a[i], args))
+                return tuple(
+                    jax.lax.dynamic_update_slice_in_dim(b, p, i * chunk, 0)
+                    for b, p in zip(bufs, parts))
 
             zeros = jnp.zeros((Kp,), dt)
-            sum_d, n_valid = jax.lax.fori_loop(0, live_chunks, body,
-                                               (zeros, zeros))
+            parts = jax.lax.fori_loop(0, live_chunks, body,
+                                      (zeros, zeros, zeros, zeros))
         else:
-            sum_d, n_valid = jax.lax.map(part_chunk, args)
-            sum_d = sum_d.reshape(-1)
-            n_valid = n_valid.reshape(-1)
-        return sum_d[:K], n_valid[:K]
+            parts = jax.lax.map(part_chunk, args)
+        return tuple(p.reshape(-1)[:K] for p in parts)
     return part_chunk(args)
 
 
 def finalize_scores(cand: Candidates, sum_d, n_valid, n_all,
+                    sum_far=None, n_far=None,
                     max_dist_penalty: float = 10.0,
-                    valid_ratio: float = 0.7):
-    """Apply the CalcScore formula + gates to (psum-reduced) partials."""
-    score = sum_d / n_valid + \
-        max_dist_penalty * (n_all - n_valid) / n_all
+                    valid_ratio: float = 0.7,
+                    obstacle_tolerance: float = 0.0):
+    """Apply the CalcScore formula + gates to (psum-reduced) partials.
+
+    obstacle_tolerance (opt-in, config match.obstacle_tolerance; no
+    reference equivalent): forgive up to this fraction of the scan's
+    pixels when they land far from every wall (field distance >=
+    obstacle_min_dist, default the cap) - i.e. treat them as dynamic
+    obstacles (people, unmapped furniture) rather than map
+    disagreement: a forgiven pixel drops out of the score mean instead
+    of charging the distance/penalty the reference does (CalcScore,
+    myFA.cpp:381).  When the far population exceeds the budget
+    tol*n_all, the forgiven fraction of the far mass is removed
+    proportionally (all far contributions sit above the threshold, so
+    this is a smooth lower bound on worst-first trimming that needs no
+    per-candidate sort).  The counts come from the globally reduced
+    partials, so the robust score stays exact under tp/mp sharding
+    (everything remains additive partials + one elementwise finalize).
+    0.0 (default) is bitwise the reference formula; capped at 0.5 so
+    the validity gate (0.7) keeps the denominator strictly positive."""
+    if not 0.0 <= obstacle_tolerance <= 0.5:
+        raise ValueError("obstacle_tolerance must be in [0, 0.5], got "
+                         f"{obstacle_tolerance}")
+    if obstacle_tolerance > 0.0:
+        if sum_far is None or n_far is None:
+            raise ValueError(
+                "obstacle_tolerance > 0 requires the sum_far/n_far "
+                "partials from score_candidates_partial")
+        forgiven = jnp.minimum(n_far, obstacle_tolerance * n_all)
+        frac = forgiven / jnp.maximum(n_far, 1.0)
+        score = (sum_d - frac * sum_far) / (n_valid - forgiven) + \
+            max_dist_penalty * (n_all - n_valid) / n_all
+    else:
+        score = sum_d / n_valid + \
+            max_dist_penalty * (n_all - n_valid) / n_all
     score = jnp.where(n_valid < valid_ratio * n_all, jnp.inf, score)
     return jnp.where(cand.mask, score, jnp.inf)
 

@@ -160,25 +160,29 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
         # map-block sharding: this device owns a row block of the cache;
         # psum of the additive partials reproduces the full-field score
         row0 = jax.lax.axis_index(mp_axis) * ctx.cache.shape[0]
-        sum_d, n_valid = assoc.score_candidates_partial(
+        parts = assoc.score_candidates_partial(
             cand, fs.pixels, fs.pixels_mask, ctx.cache, row0,
             ctx.rows, ctx.cols,
             z_occ_max_dis=cfg.map.z_occ_max_dis,
             max_dist_penalty=cfg.match.max_dist_penalty,
-            dynamic_chunks=cfg.match.score_dynamic_chunks)
-        sum_d = jax.lax.psum(sum_d, mp_axis)
-        n_valid = jax.lax.psum(n_valid, mp_axis)
+            dynamic_chunks=cfg.match.score_dynamic_chunks,
+            obstacle_min_dist=cfg.match.obstacle_min_dist)
+        sum_d, n_valid, sum_far, n_far = (
+            jax.lax.psum(p, mp_axis) for p in parts)
         n_all = jnp.sum(fs.pixels_mask).astype(dt)
         scores = assoc.finalize_scores(
-            cand, sum_d, n_valid, n_all,
+            cand, sum_d, n_valid, n_all, sum_far=sum_far, n_far=n_far,
             max_dist_penalty=cfg.match.max_dist_penalty,
-            valid_ratio=cfg.match.valid_ratio)
+            valid_ratio=cfg.match.valid_ratio,
+            obstacle_tolerance=cfg.match.obstacle_tolerance)
     elif (cfg.match.score_kernel == "pallas"
           and jax.default_backend() != "tpu"
+          and cfg.match.obstacle_tolerance == 0.0
           and ctx.cache.dtype != jnp.uint16):
-        # (u16 fixed-point caches also fall through to the XLA path:
-        # the blueprint kernel reads the raw float field and carries no
-        # dequant scale - same fallback pattern as on real TPU)
+        # (u16 fixed-point caches and the obstacle-tolerant score both
+        # fall through to the XLA path: the blueprint kernel reads the
+        # raw float field and computes the plain reference formula -
+        # same fallback pattern as on real TPU)
         # Interpret-mode only: Mosaic cannot lower the kernel's
         # arbitrary-index cache gather on real TPU (probed 2026-08-18 on
         # v5e, jax 0.9.0 - see scripts/probe_pallas_tpu.py).  On TPU the
@@ -199,7 +203,9 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
             z_occ_max_dis=cfg.map.z_occ_max_dis,
             max_dist_penalty=cfg.match.max_dist_penalty,
             valid_ratio=cfg.match.valid_ratio,
-            dynamic_chunks=cfg.match.score_dynamic_chunks)
+            dynamic_chunks=cfg.match.score_dynamic_chunks,
+            obstacle_tolerance=cfg.match.obstacle_tolerance,
+            obstacle_min_dist=cfg.match.obstacle_min_dist)
     pose_w, fused_score, pose_min, min_score, n_acc = assoc.fuse(
         cand, scores, cfg.match.score_accept, axis_name=tp_axis)
     if cfg.match.polish_pose and mp_axis is not None:

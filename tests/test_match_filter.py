@@ -113,16 +113,18 @@ def test_dynamic_chunks_bitwise_equals_static(dataset_small, map_art, fi,
     n_all = jnp.sum(jnp.asarray(pmask)).astype(jnp.float64)
     res = {}
     for dyn in (True, False):
-        sd, nv = score_candidates_partial(
+        sd, nv, sf, nf = score_candidates_partial(
             cand, jnp.asarray(pix), jnp.asarray(pmask), cache,
             row0=0, rows=H, cols=map_art.map_cache.shape[1],
             dynamic_chunks=dyn)
-        res[dyn] = (np.asarray(sd), np.asarray(nv),
+        res[dyn] = (np.asarray(sd), np.asarray(nv), np.asarray(sf),
+                    np.asarray(nf),
                     np.asarray(finalize_scores(cand, sd, nv, n_all)))
     live = int(np.asarray(cand.count))
-    np.testing.assert_array_equal(res[True][0][:live], res[False][0][:live])
-    np.testing.assert_array_equal(res[True][1][:live], res[False][1][:live])
-    np.testing.assert_array_equal(res[True][2], res[False][2])
+    for j in range(4):
+        np.testing.assert_array_equal(res[True][j][:live],
+                                      res[False][j][:live])
+    np.testing.assert_array_equal(res[True][4], res[False][4])
 
 
 def test_ukf_matches_oracle():
