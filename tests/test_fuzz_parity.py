@@ -1,0 +1,160 @@
+"""Randomized synthetic-scene parity fuzz: oracle vs TPU modules on
+maps and trajectories that appear in NO bundled dataset.
+
+The bundled-data tests (test_mapprep, test_loop) pin parity on the 6
+reference maps and 21 sequences; this file generates fresh geometry
+per seed - random rooms with interior walls, raycast scans along a
+random walk, noisy odometry - and checks the same contracts hold:
+
+  * mapCache (BFS distance field): bit-exact (SURVEY.md #2);
+  * LSD: structural line-set parity (endpoint-matched; seed tie order
+    is undefined even in the reference, SURVEY.md 2.1);
+  * full f64 rollout: pose trace matches the oracle driver to sub-1e-4
+    pixels with identical tracking decisions.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lsdtpu.io.loaders import Dataset, MapParam
+from lsdtpu.oracle import driver as odrv
+from lsdtpu.oracle import lsd as olsd
+
+RESOL = 0.05
+ORI_X = -2.0
+ORI_Y = -1.5
+
+
+def synth_map(seed, H=200, W=260):
+    """Random room: free-space rectangle with boundary walls plus 2-4
+    interior wall segments, surrounded by unknown cells - the dataset
+    value convention {0 unknown, 1 occupied, 255 free}."""
+    rng = np.random.default_rng(seed)
+    g = np.zeros((H, W), np.uint8)
+    y0, x0 = 8, 8
+    y1, x1 = H - 8, W - 8
+    g[y0:y1, x0:x1] = 255
+    g[y0, x0:x1] = 1
+    g[y1 - 1, x0:x1] = 1
+    g[y0:y1, x0] = 1
+    g[y0:y1, x1 - 1] = 1
+    for _ in range(int(rng.integers(2, 5))):
+        if rng.random() < 0.5:
+            yy = int(rng.integers(y0 + 20, y1 - 20))
+            xa = int(rng.integers(x0 + 5, x1 - 60))
+            L = int(rng.integers(40, 90))
+            g[yy, xa:xa + L] = 1
+        else:
+            xx = int(rng.integers(x0 + 20, x1 - 20))
+            ya = int(rng.integers(y0 + 5, y1 - 60))
+            L = int(rng.integers(40, 80))
+            g[ya:ya + L, xx] = 1
+    return g
+
+
+def raycast(g, wx, wy, n=360, rmax=10.0):
+    """Dense ray marching against the occupancy grid; returns the
+    (range, angle) pairs that hit a wall - a synthetic Lidar frame."""
+    H, W = g.shape
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    steps = np.arange(0.05, rmax, 0.01)
+    X = wx + np.cos(ang)[:, None] * steps[None, :]
+    Y = wy + np.sin(ang)[:, None] * steps[None, :]
+    ix = np.clip(((X - ORI_X) / RESOL + 0.5).astype(int), 0, W - 1)
+    iy = np.clip(((Y - ORI_Y) / RESOL + 0.5).astype(int), 0, H - 1)
+    occ = g[iy, ix] == 1
+    hit = occ.any(axis=1)
+    r = steps[np.argmax(occ, axis=1)]
+    return r[hit], ang[hit]
+
+
+def synth_dataset(seed, F=10):
+    """Random-walk trajectory + raycast scans + noisy odometry."""
+    rng = np.random.default_rng(1000 + seed)
+    g = synth_map(seed)
+    H, W = g.shape
+    pos = np.zeros((F, 2))
+    pos[0] = (ORI_X + W / 2 * RESOL, ORI_Y + H / 2 * RESOL)
+    for f in range(1, F):
+        pos[f] = pos[f - 1] + rng.uniform(-0.15, 0.15, 2)
+    frames = []
+    for f in range(F):
+        r, a = raycast(g, pos[f, 0], pos[f, 1])
+        r = r + rng.normal(0, 0.003, len(r))
+        frames.append(np.stack([r, a], axis=1))
+    odom = np.zeros((F + 1, 3))
+    odom[1:F + 1, :2] = pos - pos[0]
+    odom = odom + rng.normal(0, 0.002, odom.shape)
+    return Dataset(param=MapParam(W, H, RESOL, ORI_X, ORI_Y),
+                   map_value=g, odom=odom, frames=frames,
+                   name=f"synth{seed}")
+
+
+def _match_lines(a, b, tol):
+    """Greedy endpoint matching (either endpoint order) between two
+    (n, 10) linesInfo sets; returns #matched rows of b."""
+    used = np.zeros(len(a), bool)
+    n = 0
+    for rb in b:
+        best, bi = np.inf, -1
+        for i, ra in enumerate(a):
+            if used[i]:
+                continue
+            d1 = max(abs(ra[4] - rb[4]), abs(ra[5] - rb[5]),
+                     abs(ra[6] - rb[6]), abs(ra[7] - rb[7]))
+            d2 = max(abs(ra[4] - rb[6]), abs(ra[5] - rb[7]),
+                     abs(ra[6] - rb[4]), abs(ra[7] - rb[5]))
+            d = min(d1, d2)
+            if d < best:
+                best, bi = d, i
+        if bi >= 0 and best <= tol:
+            used[bi] = True
+            n += 1
+    return n
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_map_cache_bit_exact(seed):
+    from lsdtpu.mapprep.distance import create_map_cache
+    g = synth_map(seed)
+    want = olsd.create_map_cache(g.copy(), RESOL, 1.0)
+    got = np.asarray(create_map_cache(jnp.asarray(g), RESOL, 1.0))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_lsd_structural_line_sets(seed):
+    """Wall identity must agree on random rooms: every oracle line is
+    endpoint-matched by a TPU line (25 px), most within 2 px; counts
+    stay in the same regime (seed tie-order gives supersets, same as
+    the bundled maps - docs/RESULTS.md all-6-maps comparison)."""
+    from lsdtpu.mapprep.lsd import line_segment_detector
+    g = synth_map(seed)
+    want = olsd.line_segment_detector(g.copy()).lines_info
+    infos, mask, _n, _ = line_segment_detector(
+        jnp.asarray(g.astype(np.float64)))
+    got = np.asarray(infos)[np.asarray(mask)]
+    assert len(want) > 4          # the scene produced real structure
+    assert 0.7 * len(want) <= len(got) <= 1.6 * len(want)
+    assert _match_lines(got, want, 25.0) >= int(0.9 * len(want))
+    assert _match_lines(got, want, 2.0) >= int(0.7 * len(want))
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_fuzz_rollout_matches_oracle_f64(seed):
+    from lsdtpu.runtime.loop import (make_map_context, run_sequence,
+                                     stack_frames)
+    ds = synth_dataset(seed)
+    art = odrv.prepare_map(ds.map_value.copy(), ds.param.resol)
+    ores = odrv.run_sequence(ds, map_art=art)
+    ctx = make_map_context(art.lines_info, art.map_cache, ds.param.resol,
+                           ds.param.ori_x, ds.param.ori_y)
+    outs = run_sequence(stack_frames(ds, dtype=np.float64), ctx)
+    sc = np.asarray(outs["score"])
+    osc = np.array([r.score for r in ores.records])
+    np.testing.assert_array_equal(np.isfinite(sc), np.isfinite(osc))
+    m = np.isfinite(osc)
+    np.testing.assert_allclose(sc[m], osc[m], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(outs["pose"]), ores.poses,
+                               atol=1e-4)
