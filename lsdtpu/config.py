@@ -80,6 +80,14 @@ class MatchConfig:
     # below the cap for narrow corridors where an obstacle return never
     # reaches the cap distance from every wall.
     obstacle_min_dist: float = None
+    # coast-on-loss (beyond the reference; 0 = reference behavior):
+    # dead-reckon up to this many CONSECUTIVE no-candidate frames on
+    # rotated odometry (covariance inflated by the process noise)
+    # instead of resetting to the (-1,-1) sentinel and relocalizing
+    # globally (myFA.cpp:69-89) - a momentary occlusion then recovers
+    # with a LOCAL re-lock instead of risking the wrong corridor.
+    # Coasted frames report score=inf and outputs["coasting"]=True.
+    coast_on_loss: int = 0
     # sub-pixel Gauss-Newton polish of the fused pose against the
     # bilinear distance field (match/polish.py) - a capability beyond
     # the reference (its measurement is quantized to the endpoint-

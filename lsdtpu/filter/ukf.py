@@ -34,6 +34,12 @@ RESET_X = np.array([-1, -1, 0, 0, 0, 0, 0, 0, 0], dtype=np.float64)
 RESET_P = np.diag([100, 100, 100, 1, 1, 1, 0.1, 0.1, 0.1]).astype(np.float64)
 
 
+def process_noise() -> np.ndarray:
+    """The UKF process-noise matrix Q (myFA.cpp:407-412); used by the
+    coast-on-loss covariance inflation (runtime/loop.py)."""
+    return _Q
+
+
 def _cholesky_unrolled(P):
     """Lower Cholesky of a small SPD matrix, fully unrolled.
 

@@ -18,7 +18,9 @@ import numpy as np
 from lsdtpu.runtime.loop import TrackState
 
 _FIELDS = ("kalman_x", "kalman_P", "last_pose", "ang_sum", "ang_cnt",
-           "is_offset", "frame")
+           "is_offset", "frame", "lost_streak")
+# fields added after round-1 checkpoints shipped: default when absent
+_FIELD_DEFAULTS = {"lost_streak": np.zeros((), np.int32)}
 
 
 def save_state(path: str, state: TrackState, prev_odom=None) -> None:
@@ -55,7 +57,7 @@ def load_session(path: str, dtype=None):
     with np.load(path) as z:
         kw = {}
         for f in _FIELDS:
-            a = z[f]
+            a = z[f] if f in z.files else _FIELD_DEFAULTS[f]
             if dtype is not None and a.dtype.kind == "f":
                 a = a.astype(dtype)
             kw[f] = jnp.asarray(a)
@@ -80,4 +82,6 @@ def load_state_orbax(path: str) -> TrackState:
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
     tree = ckptr.restore(os.path.abspath(path))
-    return TrackState(**{f: jax.numpy.asarray(tree[f]) for f in _FIELDS})
+    return TrackState(**{
+        f: jax.numpy.asarray(tree[f] if f in tree else _FIELD_DEFAULTS[f])
+        for f in _FIELDS})

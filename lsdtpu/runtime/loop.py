@@ -70,12 +70,13 @@ class TrackState:
     ang_cnt: jnp.ndarray     # () int32
     is_offset: jnp.ndarray   # () bool
     frame: jnp.ndarray       # () int32, 1-based after first step
+    lost_streak: jnp.ndarray  # () int32 consecutive no-candidate frames
 
 
 jax.tree_util.register_pytree_node(
     TrackState,
     lambda s: ((s.kalman_x, s.kalman_P, s.last_pose, s.ang_sum, s.ang_cnt,
-                s.is_offset, s.frame), None),
+                s.is_offset, s.frame, s.lost_streak), None),
     lambda _, c: TrackState(*c))
 
 
@@ -87,7 +88,8 @@ def init_state(dtype=jnp.float32) -> TrackState:
         ang_sum=jnp.zeros((), dtype),
         ang_cnt=jnp.zeros((), jnp.int32),
         is_offset=jnp.zeros((), jnp.bool_),
-        frame=jnp.zeros((), jnp.int32))
+        frame=jnp.zeros((), jnp.int32),
+        lost_streak=jnp.zeros((), jnp.int32))
 
 
 def featurize_stage(frame_inputs, ctx: MapContext,
@@ -248,6 +250,27 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
     out_score = jnp.where(lost, jnp.inf,
                           jnp.where(hmm_first, min_score, fused_score))
 
+    # --- coast-on-loss (opt-in; no reference equivalent) ---
+    # The reference resets to the (-1,-1) sentinel on ANY no-candidate
+    # frame and relocalizes GLOBALLY next frame (myFA.cpp:69-89) - a
+    # momentary occlusion can re-lock the filter on the wrong corridor.
+    # With match.coast_on_loss = C > 0, up to C consecutive lost frames
+    # dead-reckon instead: the pose advances by the rotated odometry
+    # delta (the same additive injection the UKF uses, myFA.cpp:425-427),
+    # the covariance inflates by the process noise, and the HMM gate
+    # stays anchored locally so recovery is a local re-lock.  Past C the
+    # reference's global reset applies unchanged.
+    streak = jnp.where(lost, state.lost_streak + 1,
+                       jnp.zeros((), jnp.int32))
+    if cfg.match.coast_on_loss > 0:
+        coast = lost & ~is_first & (streak <= cfg.match.coast_on_loss)
+        coast_x = state.kalman_x.at[:3].add(scan_pose)
+        coast_P = state.kalman_P + jnp.asarray(fukf.process_noise(), dt)
+        new_x = jnp.where(coast, coast_x, new_x)
+        new_P = jnp.where(coast, coast_P, new_P)
+    else:
+        coast = jnp.zeros((), bool)
+
     # --- angRotate bookkeeping (main_on_windows.cpp:165-172) ---
     frame = state.frame + 1
     ang_diff = new_x[2] - geo.atand(odom_cur[2])
@@ -258,7 +281,7 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
     new_state = TrackState(
         kalman_x=new_x, kalman_P=new_P, last_pose=new_x[:3],
         ang_sum=state.ang_sum + ang_diff, ang_cnt=state.ang_cnt + 1,
-        is_offset=is_offset, frame=frame)
+        is_offset=is_offset, frame=frame, lost_streak=streak)
     overflow = (cand.count > cand.mask.shape[0]) | fs.overflow
     if tp_axis is not None:
         # candidate counts are per map-line shard; overflow anywhere
@@ -270,6 +293,7 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
         "n_candidates": n_acc,
         "n_scan_lines": jnp.sum(fs.lines_mask),
         "candidate_overflow": overflow,
+        "coasting": coast,
         # raw per-frame quantities for batch refinement (refine/):
         # the FA measurement (weighted-mean pose) and the rotated
         # odometry delta fed to the filter

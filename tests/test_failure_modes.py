@@ -84,3 +84,101 @@ def test_synthetic_room_localizes_to_truth():
     # map is 128x128, robot at the center (64, 64)
     final = outs["pose"][-1]
     assert abs(final[0] - 64) < 2 and abs(final[1] - 64) < 2, final
+
+
+def _blind(frames, lo, hi):
+    """Frames [lo, hi) see a tiny ring that featurizes to nothing."""
+    d = dict(frames)
+    r = np.array(frames["ranges"])
+    r[lo:hi] = 0.06
+    d["ranges"] = r
+    return d
+
+
+def test_coast_on_loss_dead_reckons_through_blind_window(dataset_small,
+                                                         map_art):
+    """match.coast_on_loss > 0 (beyond the reference): a momentary
+    blind window dead-reckons on odometry (pose stays near the clean
+    trajectory, covariance inflates) instead of emitting the (-1,-1)
+    sentinel, and recovery is a local re-lock."""
+    import dataclasses
+    import jax
+    from lsdtpu.config import DEFAULT
+    from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
+
+    ds = dataset_small
+    ctx = make_map_context(map_art.lines_info, map_art.map_cache,
+                           ds.param.resol, ds.param.ori_x, ds.param.ori_y)
+    frames = stack_frames(ds, dtype=np.float64, max_frames=45)
+    dirty = _blind(frames, 20, 27)
+
+    clean = jax.tree.map(np.asarray, run_sequence(frames, ctx))
+    faith = jax.tree.map(np.asarray, run_sequence(dirty, ctx))
+    cfg = dataclasses.replace(DEFAULT, match=dataclasses.replace(
+        DEFAULT.match, coast_on_loss=10))
+    coast = jax.tree.map(np.asarray, run_sequence(dirty, ctx, cfg))
+
+    assert np.isfinite(clean["score"]).all()
+    # reference semantics: sentinel poses throughout the window
+    assert (faith["pose"][20:27, 0] == -1).all()
+    assert not faith["coasting"].any()
+    # coast: flagged, score=inf, pose tracks the clean trajectory
+    assert coast["coasting"][20:27].all()
+    assert not np.isfinite(coast["score"][20:27]).any()
+    err = np.linalg.norm(
+        (coast["pose"] - clean["pose"])[:, :2], axis=1)
+    assert err[20:27].max() < 15.0      # px drift on pure odometry
+    # local re-lock on the first good frame, and the tail stays tight
+    assert np.isfinite(coast["score"][27:]).all()
+    assert not coast["coasting"][27:].any()
+    assert err[27:].max() < 15.0
+
+
+def test_coast_budget_exhausted_falls_back_to_reset(dataset_small,
+                                                    map_art):
+    """Past coast_on_loss consecutive lost frames the reference's
+    global reset applies unchanged (the budget bounds how long pure
+    odometry is trusted)."""
+    import dataclasses
+    import jax
+    from lsdtpu.config import DEFAULT
+    from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
+
+    ds = dataset_small
+    ctx = make_map_context(map_art.lines_info, map_art.map_cache,
+                           ds.param.resol, ds.param.ori_x, ds.param.ori_y)
+    frames = stack_frames(ds, dtype=np.float64, max_frames=35)
+    dirty = _blind(frames, 20, 27)
+    cfg = dataclasses.replace(DEFAULT, match=dataclasses.replace(
+        DEFAULT.match, coast_on_loss=3))
+    outs = jax.tree.map(np.asarray, run_sequence(dirty, ctx, cfg))
+    assert outs["coasting"][20:23].all()          # within budget
+    assert not outs["coasting"][23:27].any()      # budget exhausted
+    assert (outs["pose"][23:27, 0] == -1).all()   # reference reset
+    # global relocalization still recovers after the window
+    assert np.isfinite(outs["score"][28:]).all()
+
+
+def test_checkpoint_roundtrip_carries_lost_streak(tmp_path):
+    """lost_streak serializes; pre-round-2 checkpoints without the
+    field load with the zero default."""
+    import jax.numpy as jnp
+    from lsdtpu.runtime.checkpoint import load_state, save_state
+    from lsdtpu.runtime.loop import init_state
+
+    st = init_state(np.float64)
+    st = type(st)(**{**{f: getattr(st, f) for f in (
+        "kalman_x", "kalman_P", "last_pose", "ang_sum", "ang_cnt",
+        "is_offset", "frame")}, "lost_streak": jnp.asarray(4, jnp.int32)})
+    p = str(tmp_path / "st.npz")
+    save_state(p, st)
+    back = load_state(p)
+    assert int(back.lost_streak) == 4
+
+    # simulate a legacy checkpoint: drop the field from the npz
+    with np.load(p) as z:
+        legacy = {k: z[k] for k in z.files if k != "lost_streak"}
+    with open(p, "wb") as fh:
+        np.savez(fh, **legacy)
+    back = load_state(p)
+    assert int(back.lost_streak) == 0
