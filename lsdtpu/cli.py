@@ -19,6 +19,16 @@ import sys
 import time
 
 
+# Config bundles (applied before --set, which can still override any
+# field).  "faithful" is the do-nothing default: reference-exact
+# semantics.  Rationale + measurements: docs/RESULTS.md.
+PRESETS = {
+    "faithful": (),
+    "robust": ("match.obstacle_tolerance=0.35", "match.coast_on_loss=5"),
+    "accuracy": ("faithful=false", "match.polish_pose=true"),
+}
+
+
 def _add_common(p):
     p.add_argument("--data", required=True, help="dataset directory")
     p.add_argument("--mapprep", choices=("tpu", "oracle"), default="tpu")
@@ -29,6 +39,11 @@ def _add_common(p):
                    metavar="PATH=VALUE", dest="overrides",
                    help="config override, e.g. --set match.score_accept=2.5"
                         " --set faithful=false")
+    p.add_argument("--preset", choices=sorted(PRESETS), default="faithful",
+                   help="config bundle applied before --set overrides: "
+                        "'faithful' (reference-exact, default), 'robust' "
+                        "(obstacle tolerance + coast-on-loss), 'accuracy' "
+                        "(corrected odometry math + sub-pixel pose polish)")
     p.add_argument("--viz", default=None, metavar="DIR",
                    help="dump run images (map+lines, mapCache, trajectory,"
                         " per-frame scan windows) - the reference's OpenCV"
@@ -67,6 +82,14 @@ def apply_overrides(cfg, pairs):
     return cfg
 
 
+def build_cfg(args):
+    """Preset bundle first, then explicit --set overrides on top."""
+    from lsdtpu.config import DEFAULT
+    cfg = apply_overrides(DEFAULT,
+                          PRESETS[getattr(args, "preset", "faithful")])
+    return apply_overrides(cfg, args.overrides)
+
+
 def cmd_run(args) -> int:
     import numpy as np
     from lsdtpu.eval import ate as eval_ate
@@ -75,7 +98,7 @@ def cmd_run(args) -> int:
     from lsdtpu.runtime.artifacts import prepare_map_cached
 
     from lsdtpu.config import DEFAULT
-    cfg = apply_overrides(DEFAULT, args.overrides)
+    cfg = build_cfg(args)
     dtype = np.float64 if args.f64 else np.float32
     if getattr(args, "mode", "tracking") == "legacy":
         return _run_legacy(args, cfg, dtype)
@@ -115,8 +138,10 @@ def cmd_run(args) -> int:
         a = eval_ate.keyframe_ate(poses, ds.real_pos, ds.recorded_odom,
                                   ds.param.resol, ds.param.ori_x,
                                   ds.param.ori_y)
-        summary["ate_rmse_m"] = round(a.rmse, 4)
-        summary["ate_max_m"] = round(a.max, 4)
+        if a.n > 0:   # a truncated --frames run may reach no keyframe
+            summary["ate_rmse_m"] = round(a.rmse, 4)
+            summary["ate_max_m"] = round(a.max, 4)
+        summary["ate_keyframes"] = a.n
     if getattr(args, "viz", None):
         from lsdtpu import viz
         from lsdtpu.runtime.loop import featurize_stage
@@ -173,7 +198,7 @@ def cmd_prepare_map(args) -> int:
     from lsdtpu.io import load_dataset
     from lsdtpu.runtime.artifacts import prepare_map_cached
 
-    cfg = apply_overrides(DEFAULT, args.overrides)
+    cfg = build_cfg(args)
     ds = load_dataset(args.data)
     t0 = time.perf_counter()
     lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
@@ -213,7 +238,7 @@ def cmd_refine(args) -> int:
     from lsdtpu.runtime.artifacts import prepare_map_cached
 
     from lsdtpu.config import DEFAULT
-    cfg = apply_overrides(DEFAULT, args.overrides)
+    cfg = build_cfg(args)
     dtype = np.float64 if args.f64 else np.float32
     ds = load_dataset(args.data)
     lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
@@ -300,7 +325,7 @@ def cmd_profile(args) -> int:
     from lsdtpu.runtime.trace import device_trace, stage_timings
     from lsdtpu.io import load_dataset
 
-    cfg = apply_overrides(DEFAULT, args.overrides)
+    cfg = build_cfg(args)
     dtype = np.float64 if args.f64 else np.float32
     ds = load_dataset(args.data)
     lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,

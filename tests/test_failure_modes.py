@@ -182,3 +182,21 @@ def test_checkpoint_roundtrip_carries_lost_streak(tmp_path):
         np.savez(fh, **legacy)
     back = load_state(p)
     assert int(back.lost_streak) == 0
+
+
+def test_cli_presets_compose_with_overrides():
+    """--preset applies a bundle before --set; faithful == DEFAULT."""
+    import argparse
+    from lsdtpu.cli import build_cfg
+    from lsdtpu.config import DEFAULT
+
+    ns = argparse.Namespace(preset="faithful", overrides=[])
+    assert build_cfg(ns) == DEFAULT
+    ns = argparse.Namespace(preset="robust",
+                            overrides=["match.coast_on_loss=7"])
+    cfg = build_cfg(ns)
+    assert cfg.match.obstacle_tolerance == 0.35
+    assert cfg.match.coast_on_loss == 7          # --set wins
+    ns = argparse.Namespace(preset="accuracy", overrides=[])
+    cfg = build_cfg(ns)
+    assert cfg.match.polish_pose and not cfg.faithful
