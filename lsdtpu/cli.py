@@ -56,29 +56,34 @@ def apply_overrides(cfg, pairs):
     """Dotted-path overrides on the frozen EngineConfig tree."""
     import dataclasses
 
-    def coerce(old, s):
+    def coerce(path, old, s):
+        if s.lower() in ("none", "null"):
+            # explicit reset of an optional field (works even after a
+            # prior --set gave it a float value)
+            return None
         if isinstance(old, bool):
             return s.lower() in ("1", "true", "yes")
         if old is None:  # e.g. match.obstacle_min_dist (None = cap)
-            if s.lower() in ("none", "null"):
-                return None
             try:
                 return float(s)
             except ValueError:
-                return s
+                raise ValueError(
+                    f"--set {path}: cannot parse {s!r} as a float "
+                    "(or 'none')") from None
         return type(old)(s)
 
-    def set_path(obj, path, value):
+    def set_path(obj, path, value, full):
         head = path[0]
         old = getattr(obj, head)
         if len(path) == 1:
-            return dataclasses.replace(obj, **{head: coerce(old, value)})
-        return dataclasses.replace(obj, **{head: set_path(old, path[1:],
-                                                          value)})
+            return dataclasses.replace(
+                obj, **{head: coerce(full, old, value)})
+        return dataclasses.replace(
+            obj, **{head: set_path(old, path[1:], value, full)})
 
     for pair in pairs:
         path, _, value = pair.partition("=")
-        cfg = set_path(cfg, path.split("."), value)
+        cfg = set_path(cfg, path.split("."), value, path)
     return cfg
 
 
@@ -97,7 +102,6 @@ def cmd_run(args) -> int:
     from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
     from lsdtpu.runtime.artifacts import prepare_map_cached
 
-    from lsdtpu.config import DEFAULT
     cfg = build_cfg(args)
     dtype = np.float64 if args.f64 else np.float32
     if getattr(args, "mode", "tracking") == "legacy":
@@ -194,7 +198,6 @@ def _run_legacy(args, cfg, dtype) -> int:
 
 
 def cmd_prepare_map(args) -> int:
-    from lsdtpu.config import DEFAULT
     from lsdtpu.io import load_dataset
     from lsdtpu.runtime.artifacts import prepare_map_cached
 
@@ -237,7 +240,6 @@ def cmd_refine(args) -> int:
     from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
     from lsdtpu.runtime.artifacts import prepare_map_cached
 
-    from lsdtpu.config import DEFAULT
     cfg = build_cfg(args)
     dtype = np.float64 if args.f64 else np.float32
     ds = load_dataset(args.data)
@@ -319,7 +321,6 @@ def cmd_profile(args) -> int:
     189-190)."""
     import jax
     import numpy as np
-    from lsdtpu.config import DEFAULT
     from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
     from lsdtpu.runtime.artifacts import prepare_map_cached
     from lsdtpu.runtime.trace import device_trace, stage_timings

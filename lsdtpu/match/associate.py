@@ -361,8 +361,17 @@ def finalize_scores(cand: Candidates, sum_d, n_valid, n_all,
                 "partials from score_candidates_partial")
         forgiven = jnp.minimum(n_far, obstacle_tolerance * n_all)
         frac = forgiven / jnp.maximum(n_far, 1.0)
-        score = (sum_d - frac * sum_far) / (n_valid - forgiven) + \
-            max_dist_penalty * (n_all - n_valid) / n_all
+        denom = n_valid - forgiven
+        # denom > 0 is guaranteed only for gate-passing candidates at
+        # the default valid_ratio (0.7 > tol cap 0.5); with a
+        # user-lowered valid_ratio a fully-forgiven candidate would be
+        # 0/0 = NaN and NaN passes the gate below - such a candidate
+        # carries no information, so it is explicitly inf
+        score = jnp.where(
+            denom > 0,
+            (sum_d - frac * sum_far) / jnp.maximum(denom, 1e-9) +
+            max_dist_penalty * (n_all - n_valid) / n_all,
+            jnp.inf)
     else:
         score = sum_d / n_valid + \
             max_dist_penalty * (n_all - n_valid) / n_all

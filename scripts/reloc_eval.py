@@ -70,9 +70,10 @@ def main() -> int:
         bp = base["pose"]
 
         for off in offsets:
-            k = int(off * F)
-            fr = dict(frames, reset=np.zeros((F,), bool))
-            fr["reset"] = fr["reset"].copy()
+            # clamp: an offset of 1.0 would index one past the end
+            k = min(max(int(off * F), 0), F - 1)
+            fr = dict(frames)
+            fr["reset"] = np.zeros((F,), bool)
             fr["reset"][k] = True
             outs = jax.tree.map(np.asarray, run_sequence(fr, ctx))
             sc = outs["score"][k:]

@@ -210,3 +210,38 @@ def test_rollout_obstacles_break_faithful_not_robust(dataset_data1):
     assert tracked_r.sum() == len(tracked_r)
     assert err_r.max() < 50.0          # px; calibrated headroom ~3x
     assert np.median(err_r) < 10.0
+
+
+def test_fully_forgiven_candidate_is_inf_not_nan(scene):
+    """With a user-lowered valid_ratio, a candidate whose every valid
+    pixel is forgiven (0/0) must score inf, not NaN (NaN would pass
+    the validity gate and poison fuse's argmin relocalization path)."""
+    cache, pix, pmask, _ = scene
+    cache = np.full_like(cache, 1.0)        # everything at cap
+    cand = _mk_candidates([(0.0, 0.0)])
+    got = np.asarray(score_candidates(
+        cand, jnp.asarray(pix), jnp.asarray(pmask), jnp.asarray(cache),
+        obstacle_tolerance=0.5, valid_ratio=0.2))
+    # n_far == n_valid == n_all, budget 0.5*n_all < n_valid -> finite;
+    # shrink the mask so the budget covers every valid pixel instead
+    pmask2 = pmask.copy()
+    pmask2[:] = False
+    pmask2[:10] = True
+    ix = pix[:10]
+    assert (ix >= 0).all()
+    got = np.asarray(score_candidates(
+        _mk_candidates([(0.0, 0.0)]), jnp.asarray(pix[:20]),
+        jnp.asarray(np.concatenate([np.ones(10, bool),
+                                    np.zeros(10, bool)])),
+        jnp.asarray(cache), obstacle_tolerance=0.5, valid_ratio=0.2))
+    # 10 valid pixels all at cap, budget = 0.5*10 = 5 -> denom 5 > 0:
+    # still finite.  Force denom == 0 via finalize directly:
+    from lsdtpu.match.associate import finalize_scores
+    import jax.numpy as jnpp
+    s = np.asarray(finalize_scores(
+        _mk_candidates([(0.0, 0.0)]),
+        jnpp.asarray([50.0]), jnpp.asarray([5.0]),
+        jnpp.asarray(10.0), sum_far=jnpp.asarray([50.0]),
+        n_far=jnpp.asarray([5.0]), obstacle_tolerance=0.5,
+        valid_ratio=0.2))
+    assert np.isinf(s[0]) and not np.isnan(s[0])
