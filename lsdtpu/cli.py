@@ -24,7 +24,8 @@ import time
 # semantics.  Rationale + measurements: docs/RESULTS.md.
 PRESETS = {
     "faithful": (),
-    "robust": ("match.obstacle_tolerance=0.35", "match.coast_on_loss=5"),
+    "robust": ("match.obstacle_tolerance=0.35", "match.coast_on_loss=5",
+               "match.relock_margin=0.2"),
     "accuracy": ("faithful=false", "match.polish_pose=true"),
 }
 

@@ -80,6 +80,16 @@ class MatchConfig:
     # below the cap for narrow corridors where an obstacle return never
     # reaches the cap distance from every wall.
     obstacle_min_dist: float = None
+    # ambiguity-aware relocalization (beyond the reference; 0 = off =
+    # reference behavior): defer a global relock when some accepted
+    # candidate farther than max_esti_dist px from the winner scores
+    # within (1+margin) of it - in symmetric environments (twin rooms,
+    # repeating bays) the reference's min-score pick is an arbitrary
+    # choice between distant hypotheses (myFA.cpp:96-108).  A deferred
+    # frame stays unlocked (outputs["relock_deferred"]) and retries
+    # globally next frame; persistently symmetric views never lock,
+    # which is the intended conservative behavior.
+    relock_margin: float = 0.0
     # coast-on-loss (beyond the reference; 0 = reference behavior):
     # dead-reckon up to this many CONSECUTIVE no-candidate frames on
     # rotated odometry (covariance inflated by the process noise)

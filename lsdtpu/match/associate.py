@@ -419,3 +419,32 @@ def fuse(cand: Candidates, scores, score_accept: float = 3.0,
     pose_w = sum_pose / sum_w
     fused_score = 1.0 / jnp.sqrt(sum_w / n_acc)
     return pose_w, fused_score, pose_min, min_score, n_acc
+
+
+def relock_ambiguity(cand: Candidates, scores, pose_min, min_score,
+                     min_dist: float = 60.0, margin: float = 0.2,
+                     min_ang: float = 45.0, score_accept: float = 3.0,
+                     axis_name: str | None = None):
+    """Second-mode detection for the global relocalization path
+    (opt-in, config match.relock_margin; no reference equivalent).
+
+    The reference relocks on the min-score candidate with the HMM gate
+    open (myFA.cpp:96-108,330); in symmetric environments (twin rooms,
+    repeating bays, a bare rectangle's 180-degree self-symmetry)
+    several DISTINCT hypotheses score almost identically and the
+    argmin is an arbitrary pick - a wrong lock that then anchors the
+    HMM chain.  This returns True when some accepted candidate
+    separated from the winner by more than min_dist px OR min_ang
+    degrees scores within (1+margin) of it, i.e. the score landscape
+    is multimodal at relock scale; the caller defers the lock and
+    retries next frame.  Under tp sharding pose_min/min_score are the
+    globally-reduced winners and the far-mode min distributes via
+    pmin."""
+    d2 = jnp.sum((cand.pose[:, :2] - pose_min[None, :2]) ** 2, axis=1)
+    dang = (cand.pose[:, 2] - pose_min[2] + 180.0) % 360.0 - 180.0
+    apart = (d2 > min_dist * min_dist) | (jnp.abs(dang) > min_ang)
+    far = (scores < score_accept) & apart
+    second = jnp.min(jnp.where(far, scores, jnp.inf))
+    if axis_name is not None:
+        second = jax.lax.pmin(second, axis_name)
+    return second <= min_score * (1.0 + margin)

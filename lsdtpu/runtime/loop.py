@@ -235,6 +235,20 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
     # (myFA.cpp:99), unlike the gate's exact == -1 escape (myFA.cpp:330)
     hmm_first = jnp.abs(state.last_pose[0] + 1) < 1e-4
 
+    # --- ambiguity-aware relocalization (opt-in; see relock_ambiguity)
+    if cfg.match.relock_margin > 0.0:
+        ambig = assoc.relock_ambiguity(
+            cand, scores, pose_min, min_score,
+            min_dist=cfg.match.max_esti_dist,
+            margin=cfg.match.relock_margin,
+            score_accept=cfg.match.score_accept, axis_name=tp_axis)
+        deferred = hmm_first & ~lost & ambig
+        # a deferred relock behaves exactly like a lost frame: the
+        # chain stays at the sentinel and retries globally next frame
+        lost = lost | deferred
+    else:
+        deferred = jnp.zeros((), bool)
+
     ukf_x, ukf_P = fukf.ukf_step(state.kalman_x, state.kalman_P,
                                  scan_pose, pose_w,
                                  alpha=cfg.filter.alpha,
@@ -294,6 +308,7 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
         "n_scan_lines": jnp.sum(fs.lines_mask),
         "candidate_overflow": overflow,
         "coasting": coast,
+        "relock_deferred": deferred,
         # raw per-frame quantities for batch refinement (refine/):
         # the FA measurement (weighted-mean pose) and the rotated
         # odometry delta fed to the filter

@@ -82,6 +82,7 @@ def _out_spec():
         "pose": P(DP_AXIS), "score": P(DP_AXIS),
         "n_candidates": P(DP_AXIS), "n_scan_lines": P(DP_AXIS),
         "candidate_overflow": P(DP_AXIS), "coasting": P(DP_AXIS),
+        "relock_deferred": P(DP_AXIS),
         "measurement": P(DP_AXIS), "scan_pose": P(DP_AXIS),
     }
 
