@@ -40,15 +40,23 @@ def main():
         "/root/reference/data_20190513/data_f3key/data*",
         "/root/reference/data_20190514/data_f4key/data*",
     ])
+    ap.add_argument("--preset", default="faithful",
+                    help="config preset (lsdtpu/cli.py PRESETS)")
+    ap.add_argument("--set", action="append", default=[],
+                    metavar="PATH=VALUE", dest="overrides",
+                    help="config override applied after --preset")
     args = ap.parse_args()
 
     import jax
     if args.backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    from lsdtpu.cli import build_cfg
     from lsdtpu.eval import ate as eval_ate
     from lsdtpu.io import load_dataset
     from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
     from lsdtpu.runtime.artifacts import prepare_map_cached
+
+    cfg = build_cfg(args)
 
     paths = sorted(p for pat in args.roots for p in glob.glob(pat))
     results = []
@@ -63,7 +71,7 @@ def main():
                                    dtype=np.float32,
                                    cache_dtype=args.cache_dtype)
             frames = stack_frames(ds, dtype=np.float32)
-            outs = jax.block_until_ready(run_sequence(frames, ctx))
+            outs = jax.block_until_ready(run_sequence(frames, ctx, cfg))
             F = frames["ranges"].shape[0]
             scores = np.asarray(outs["score"])
             poses = np.asarray(outs["pose"])
