@@ -30,12 +30,7 @@ PRESETS = {
 }
 
 
-def _add_common(p):
-    p.add_argument("--data", required=True, help="dataset directory")
-    p.add_argument("--mapprep", choices=("tpu", "oracle"), default="tpu")
-    p.add_argument("--f64", action="store_true",
-                   help="float64 parity mode (slow on TPU)")
-    p.add_argument("--frames", type=int, default=None)
+def _add_cfg_args(p):
     p.add_argument("--set", action="append", default=[],
                    metavar="PATH=VALUE", dest="overrides",
                    help="config override, e.g. --set match.score_accept=2.5"
@@ -43,8 +38,18 @@ def _add_common(p):
     p.add_argument("--preset", choices=sorted(PRESETS), default="faithful",
                    help="config bundle applied before --set overrides: "
                         "'faithful' (reference-exact, default), 'robust' "
-                        "(obstacle tolerance + coast-on-loss), 'accuracy' "
-                        "(corrected odometry math + sub-pixel pose polish)")
+                        "(obstacle tolerance + coast-on-loss + relock "
+                        "margin), 'accuracy' (corrected odometry math + "
+                        "sub-pixel pose polish)")
+
+
+def _add_common(p):
+    p.add_argument("--data", required=True, help="dataset directory")
+    p.add_argument("--mapprep", choices=("tpu", "oracle"), default="tpu")
+    p.add_argument("--f64", action="store_true",
+                   help="float64 parity mode (slow on TPU)")
+    p.add_argument("--frames", type=int, default=None)
+    _add_cfg_args(p)
     p.add_argument("--viz", default=None, metavar="DIR",
                    help="dump run images (map+lines, mapCache, trajectory,"
                         " per-frame scan windows) - the reference's OpenCV"
@@ -375,9 +380,14 @@ def cmd_batch(args) -> int:
     from lsdtpu.runtime.artifacts import prepare_map_cached
     from lsdtpu.runtime.batch import run_batch, stack_batch, stack_concat
 
+    cfg = build_cfg(args)
     dss = [load_dataset(p) for p in args.data]
     arts = [prepare_map_cached(d.map_value, d.param.resol,
-                               backend=args.mapprep) for d in dss]
+                               z_occ_max_dis=cfg.map.z_occ_max_dis,
+                               backend=args.mapprep,
+                               growth=cfg.lsd.growth,
+                               nfa_kernel=cfg.lsd.nfa_kernel)
+            for d in dss]
     if args.concat:
         # corpus replay: one lax.scan over all sequences (they must
         # share the map; bitwise-identical to standalone rollouts)
@@ -389,10 +399,12 @@ def cmd_batch(args) -> int:
                 return 2
         ds0 = dss[0]
         ctx = make_map_context(arts[0][0], arts[0][1], ds0.param.resol,
-                               ds0.param.ori_x, ds0.param.ori_y)
+                               ds0.param.ori_x, ds0.param.ori_y,
+                               cache_dtype=cfg.match.cache_dtype,
+                               z_occ_max_dis=cfg.map.z_occ_max_dis)
         frames, bounds = stack_concat(dss)
         t0 = time.perf_counter()
-        outs = jax.block_until_ready(run_sequence(frames, ctx))
+        outs = jax.block_until_ready(run_sequence(frames, ctx, cfg))
         dt = time.perf_counter() - t0
         sc = np.asarray(outs["score"])
         for b in range(len(dss)):
@@ -402,9 +414,10 @@ def cmd_batch(args) -> int:
                 "tracked": int(np.isfinite(sc[lo:hi]).sum())}))
         total = int(bounds[-1])
     else:
-        frames, ctxs, lens = stack_batch(dss, arts)
+        frames, ctxs, lens = stack_batch(dss, arts, cfg,
+                                         cache_dtype=cfg.match.cache_dtype)
         t0 = time.perf_counter()
-        outs = jax.block_until_ready(run_batch(frames, ctxs))
+        outs = jax.block_until_ready(run_batch(frames, ctxs, cfg))
         dt = time.perf_counter() - t0
         total = int(lens.sum())
         for b, (ds, n) in enumerate(zip(dss, lens)):
@@ -427,12 +440,17 @@ def cmd_serve(args) -> int:
     from lsdtpu.runtime.artifacts import prepare_map_cached
     from lsdtpu.runtime.serving import SessionPool
 
+    cfg = build_cfg(args)
     dss = [load_dataset(p) for p in args.data]
     arts = [prepare_map_cached(d.map_value, d.param.resol,
-                               backend=args.mapprep) for d in dss]
+                               z_occ_max_dis=cfg.map.z_occ_max_dis,
+                               backend=args.mapprep,
+                               growth=cfg.lsd.growth,
+                               nfa_kernel=cfg.lsd.nfa_kernel)
+            for d in dss]
     H = max(a[1].shape[0] for a in arts)
     W = max(a[1].shape[1] for a in arts)
-    pool = SessionPool(capacity=len(dss), canvas_hw=(H, W))
+    pool = SessionPool(capacity=len(dss), canvas_hw=(H, W), cfg=cfg)
     for i, (ds, (lines, cache)) in enumerate(zip(dss, arts)):
         pool.open_session(f"robot{i}", lines, cache, ds.param.resol,
                           ds.param.ori_x, ds.param.ori_y)
@@ -526,6 +544,7 @@ def main(argv=None) -> int:
     p.add_argument("--concat", action="store_true",
                    help="corpus replay: ONE lax.scan over all sequences "
                         "(must share the map) instead of a vmap batch")
+    _add_cfg_args(p)
     p.set_defaults(fn=cmd_batch)
 
     p = sub.add_parser("serve", help="robot-fleet replay through the "
@@ -534,6 +553,7 @@ def main(argv=None) -> int:
                    help="one dataset directory per robot")
     p.add_argument("--mapprep", choices=("tpu", "oracle"), default="tpu")
     p.add_argument("--frames", type=int, default=None)
+    _add_cfg_args(p)
     p.set_defaults(fn=cmd_serve)
 
     # Accept --backend after the subcommand too (`lsdtpu run --backend

@@ -82,10 +82,12 @@ class MatchConfig:
     obstacle_min_dist: float = None
     # ambiguity-aware relocalization (beyond the reference; 0 = off =
     # reference behavior): defer a global relock when some accepted
-    # candidate farther than max_esti_dist px from the winner scores
+    # candidate separated from the winner by more than max_esti_dist px
+    # OR more than 45 degrees of heading (a bare rectangle's 180-degree
+    # self-symmetry is a heading flip at the SAME position) scores
     # within (1+margin) of it - in symmetric environments (twin rooms,
     # repeating bays) the reference's min-score pick is an arbitrary
-    # choice between distant hypotheses (myFA.cpp:96-108).  A deferred
+    # choice between such hypotheses (myFA.cpp:96-108).  A deferred
     # frame stays unlocked (outputs["relock_deferred"]) and retries
     # globally next frame; persistently symmetric views never lock,
     # which is the intended conservative behavior.

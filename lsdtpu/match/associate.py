@@ -441,7 +441,7 @@ def relock_ambiguity(cand: Candidates, scores, pose_min, min_score,
     globally-reduced winners and the far-mode min distributes via
     pmin."""
     d2 = jnp.sum((cand.pose[:, :2] - pose_min[None, :2]) ** 2, axis=1)
-    dang = (cand.pose[:, 2] - pose_min[2] + 180.0) % 360.0 - 180.0
+    dang = geo.wrap_deg(cand.pose[:, 2] - pose_min[2])
     apart = (d2 > min_dist * min_dist) | (jnp.abs(dang) > min_ang)
     far = (scores < score_accept) & apart
     second = jnp.min(jnp.where(far, scores, jnp.inf))

@@ -32,15 +32,20 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--backend", default="cpu",
                     choices=("cpu", "default"))
-    ap.add_argument("--cache-dtype", default="f32",
+    ap.add_argument("--cache-dtype", default=None,
                     choices=("f32", "bf16", "u16"),
                     help="distance-field compression (match/associate."
-                         "py quantize_cache)")
+                         "py quantize_cache); default: the config's "
+                         "match.cache_dtype")
     ap.add_argument("--roots", nargs="*", default=[
         "/root/reference/data_20190513/data_f3key/data*",
         "/root/reference/data_20190514/data_f4key/data*",
     ])
+    # lsdtpu.cli imports no jax at module level, so this is safe before
+    # the backend flag is applied
+    from lsdtpu.cli import PRESETS
     ap.add_argument("--preset", default="faithful",
+                    choices=sorted(PRESETS),
                     help="config preset (lsdtpu/cli.py PRESETS)")
     ap.add_argument("--set", action="append", default=[],
                     metavar="PATH=VALUE", dest="overrides",
@@ -65,11 +70,17 @@ def main():
         try:
             ds = load_dataset(p)
             lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
-                                              backend=args.mapprep)
+                                              z_occ_max_dis=cfg.map
+                                              .z_occ_max_dis,
+                                              backend=args.mapprep,
+                                              growth=cfg.lsd.growth,
+                                              nfa_kernel=cfg.lsd.nfa_kernel)
             ctx = make_map_context(lines, cache, ds.param.resol,
                                    ds.param.ori_x, ds.param.ori_y,
                                    dtype=np.float32,
-                                   cache_dtype=args.cache_dtype)
+                                   cache_dtype=(args.cache_dtype or
+                                                cfg.match.cache_dtype),
+                                   z_occ_max_dis=cfg.map.z_occ_max_dis)
             frames = stack_frames(ds, dtype=np.float32)
             outs = jax.block_until_ready(run_sequence(frames, ctx, cfg))
             F = frames["ranges"].shape[0]

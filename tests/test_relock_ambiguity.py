@@ -12,14 +12,13 @@ import dataclasses
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from lsdtpu.config import DEFAULT
 from lsdtpu.io.loaders import Dataset, MapParam
 from lsdtpu.oracle import driver as odrv
 from lsdtpu.runtime.loop import make_map_context, run_sequence, stack_frames
 
-from test_fuzz_parity import RESOL, ORI_X, ORI_Y, raycast, synth_map
+from test_fuzz_parity import RESOL, ORI_X, ORI_Y, synth_map
 
 
 def _twin_map(H=140, W=360):
@@ -101,3 +100,41 @@ def test_asymmetric_room_not_deferred():
     outs = _rollout(g, wx, wy, margin=0.3)
     assert np.isfinite(outs["score"][0])
     assert not outs["relock_deferred"].any()
+
+
+def test_twin_rooms_deferral_exact_under_tp_sharding():
+    """The second-mode pmin must reproduce the single-device deferral
+    decisions exactly when candidates are sharded over map lines
+    (DESIGN.md claims tp exactness for relock_ambiguity)."""
+    from lsdtpu.runtime.shard import make_mesh, run_batch_sharded
+    from lsdtpu.runtime.loop import MapContext
+
+    g = _twin_map()
+    wx = ORI_X + 48 * RESOL
+    wy = ORI_Y + g.shape[0] / 2 * RESOL
+    single = _rollout(g, wx, wy, margin=0.3)
+
+    art = odrv.prepare_map(g.copy(), RESOL)
+    H, W = g.shape
+    ctx = make_map_context(art.lines_info, art.map_cache, RESOL,
+                           ORI_X, ORI_Y)
+    r, a = _raycast_gapped(g, wx, wy)
+    frames_l = [np.stack([r, a], axis=1) for _ in range(3)]
+    ds = Dataset(param=MapParam(W, H, RESOL, ORI_X, ORI_Y),
+                 map_value=g.copy(), odom=np.zeros((4, 3)),
+                 frames=frames_l)
+    frames = stack_frames(ds, dtype=np.float64)
+    cfg = dataclasses.replace(DEFAULT, match=dataclasses.replace(
+        DEFAULT.match, relock_margin=0.3))
+
+    mesh = make_mesh()
+    batch = jax.tree.map(lambda x: np.asarray(x)[None], frames)
+    ctxs = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[None]), ctx)
+    ctxs = MapContext(*ctxs) if not isinstance(ctxs, MapContext) else ctxs
+    outs = jax.tree.map(np.asarray,
+                        run_batch_sharded(batch, ctxs, mesh, cfg))
+    np.testing.assert_array_equal(outs["relock_deferred"][0],
+                                  single["relock_deferred"])
+    np.testing.assert_array_equal(np.isfinite(outs["score"][0]),
+                                  np.isfinite(single["score"]))
+    assert outs["relock_deferred"][0].all()
