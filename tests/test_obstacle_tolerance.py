@@ -167,13 +167,16 @@ def _inject_obstacle(frames, frac, scale, seed=11):
     return out
 
 
-def test_rollout_obstacles_break_faithful_not_robust(dataset_data1):
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_rollout_obstacles_break_faithful_not_robust(dataset_data1,
+                                                     dtype):
     """End-to-end on data1: occlude 40% of every scan with a mid-room
     obstacle arc.  The reference semantics loses tracking on a large
     minority of frames and mislocalizes by meters on others; the
     robust mode tracks every frame close to the obstacle-free
-    trajectory.  (Calibrated 2026-08-20: faithful 59/80 tracked with
-    643 px worst error; tol=0.35 robust 80/80 with 18 px worst.)"""
+    trajectory - in both the parity dtype (f64) and the production
+    dtype (f32).  (Calibrated 2026-08-20: faithful 59/80 tracked with
+    643 px worst error; tol=0.35 robust 80/80 with 18-19 px worst.)"""
     from lsdtpu.config import DEFAULT
     from lsdtpu.oracle import driver as odrv
     from lsdtpu.runtime.loop import (make_map_context, run_sequence,
@@ -182,8 +185,8 @@ def test_rollout_obstacles_break_faithful_not_robust(dataset_data1):
     ds = dataset_data1
     art = odrv.prepare_map(ds.map_value, ds.param.resol)
     ctx = make_map_context(art.lines_info, art.map_cache, ds.param.resol,
-                           ds.param.ori_x, ds.param.ori_y)
-    frames = stack_frames(ds, dtype=np.float64, max_frames=80)
+                           ds.param.ori_x, ds.param.ori_y, dtype=dtype)
+    frames = stack_frames(ds, dtype=dtype, max_frames=80)
     dirty = _inject_obstacle(frames, frac=0.4, scale=0.5)
 
     cfg_rob = dataclasses.replace(
