@@ -133,17 +133,28 @@ def cmd_run(args) -> int:
     F = frames["ranges"].shape[0]
     poses = np.asarray(outs["pose"])
     scores = np.asarray(outs["score"])
+    coasting = np.asarray(outs["coasting"])
+    deferred = np.asarray(outs["relock_deferred"])
     for f in range(F):
         sc = float(scores[f])
         rec = {"frame": f + 1, "pose": [round(float(v), 3)
                                         for v in poses[f]],
                "score": round(sc, 4) if np.isfinite(sc) else None,
                "n_candidates": int(np.asarray(outs["n_candidates"])[f])}
+        if coasting[f]:
+            rec["coasting"] = True
+        if deferred[f]:
+            rec["relock_deferred"] = True
         print(json.dumps(rec))
     tracked = int(np.isfinite(scores).sum())
+    summary_flags = {}
+    if coasting.any():
+        summary_flags["coasted"] = int(coasting.sum())
+    if deferred.any():
+        summary_flags["relock_deferred"] = int(deferred.sum())
     summary = {"frames": F, "tracked": tracked,
                "wall_s": round(dt, 2),
-               "scans_per_sec": round(F / dt, 1)}
+               "scans_per_sec": round(F / dt, 1), **summary_flags}
     if ds.real_pos is not None:
         a = eval_ate.keyframe_ate(poses, ds.real_pos, ds.recorded_odom,
                                   ds.param.resol, ds.param.ori_x,
