@@ -58,15 +58,25 @@ def _add_common(p):
                    help="number of per-frame scan images to dump")
 
 
+# Config fields where None is a meaningful value (--set path=none).
+# Everything else rejects 'none' immediately instead of storing a None
+# that only explodes later at jit-trace time with a context-free error.
+OPTIONAL_FIELDS = frozenset({"match.obstacle_min_dist"})
+
+
 def apply_overrides(cfg, pairs):
     """Dotted-path overrides on the frozen EngineConfig tree."""
     import dataclasses
 
     def coerce(path, old, s):
         if s.lower() in ("none", "null"):
-            # explicit reset of an optional field (works even after a
-            # prior --set gave it a float value)
-            return None
+            # explicit reset of an Optional field only (works even
+            # after a prior --set gave it a float value)
+            if old is None or path in OPTIONAL_FIELDS:
+                return None
+            raise ValueError(
+                f"--set {path}: {s!r} is not valid for a "
+                f"{type(old).__name__} field")
         if isinstance(old, bool):
             return s.lower() in ("1", "true", "yes")
         if old is None:  # e.g. match.obstacle_min_dist (None = cap)
@@ -76,7 +86,12 @@ def apply_overrides(cfg, pairs):
                 raise ValueError(
                     f"--set {path}: cannot parse {s!r} as a float "
                     "(or 'none')") from None
-        return type(old)(s)
+        try:
+            return type(old)(s)
+        except (ValueError, TypeError):
+            raise ValueError(
+                f"--set {path}: cannot parse {s!r} as "
+                f"{type(old).__name__}") from None
 
     def set_path(obj, path, value, full):
         head = path[0]

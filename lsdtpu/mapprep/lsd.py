@@ -82,7 +82,7 @@ def _grow(seed_y, seed_x, seed_deg, deg_thre, ban, deg_map):
 
 
 def _grow_fifo(seed_y, seed_x, seed_deg, deg_thre, ban, deg_map,
-               cap: int = 65536):
+               cap: int = None):
     """Exact-order FIFO region growth (reference: RegionGrower,
     myLSD.cpp:491-590): a queue of accepted points; each popped point
     scans its 3x3 neighborhood in row-major order; the running circular
@@ -90,9 +90,22 @@ def _grow_fifo(seed_y, seed_x, seed_deg, deg_thre, ban, deg_map,
     until one adds nothing (`while ex != grow`).  Sequential by
     construction - kept for bit-parity map prep (config
     lsd.growth="fifo"); the wave-synchronous `_grow` is the fast
-    default.  `cap` bounds the queue (>= the downsampled image size for
-    the bundled maps).  Returns (cur mask, reg_deg)."""
+    default.
+
+    `cap` bounds the queue; the default (None -> H*W) can NEVER
+    saturate: every pixel enters the queue at most once (the `cur`
+    membership test), so grow <= H*W always - truncation is impossible
+    by construction, honoring the "caps are never silent" contract.
+    An explicit smaller cap raises at trace time rather than silently
+    stopping acceptance.  Returns (cur mask, reg_deg)."""
     H, W = deg_map.shape
+    if cap is None:
+        cap = H * W
+    elif cap < H * W:
+        raise ValueError(
+            f"_grow_fifo cap={cap} < H*W={H * W}: an undersized queue "
+            "would silently truncate region growth (bit-parity mode "
+            "must match the reference exactly); use the default")
     dt = deg_map.dtype
     cur0 = jnp.zeros((H, W), bool).at[seed_y, seed_x].set(True)
     st = dict(

@@ -272,6 +272,13 @@ def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
     cache_flat = cache_block.reshape(-1)
     if obstacle_min_dist is None:
         obstacle_min_dist = z_occ_max_dis
+    elif not 0.0 < obstacle_min_dist <= z_occ_max_dis:
+        # above the cap it silently degenerates to cap-only forgiveness
+        # (cache values never exceed the cap); <= 0 would forgive every
+        # in-map pixel - both are config mistakes, reject loudly
+        raise ValueError(
+            f"obstacle_min_dist={obstacle_min_dist} must be in "
+            f"(0, z_occ_max_dis={z_occ_max_dis}]")
 
     K = cand.ca.shape[0]
     n_chunks = -(-K // chunk) if K > chunk else 1

@@ -200,3 +200,42 @@ def test_cli_presets_compose_with_overrides():
     ns = argparse.Namespace(preset="accuracy", overrides=[])
     cfg = build_cfg(ns)
     assert cfg.match.polish_pose and not cfg.faithful
+
+
+def test_cli_override_coercion_errors_are_loud():
+    """--set mistakes fail at parse time with the offending path, not
+    later at jit-trace time (advisor r2)."""
+    import pytest
+    from lsdtpu.cli import apply_overrides
+    from lsdtpu.config import DEFAULT
+
+    # 'none' only valid for Optional fields
+    cfg = apply_overrides(DEFAULT, ["match.obstacle_min_dist=0.6"])
+    cfg = apply_overrides(cfg, ["match.obstacle_min_dist=none"])
+    assert cfg.match.obstacle_min_dist is None
+    with pytest.raises(ValueError, match="match.coast_on_loss"):
+        apply_overrides(DEFAULT, ["match.coast_on_loss=none"])
+    # unparseable value carries the path context
+    with pytest.raises(ValueError, match="match.coast_on_loss"):
+        apply_overrides(DEFAULT, ["match.coast_on_loss=0.5"])
+    with pytest.raises(ValueError, match="match.obstacle_min_dist"):
+        apply_overrides(DEFAULT, ["match.obstacle_min_dist=abc"])
+
+
+def test_obstacle_min_dist_out_of_range_rejected(dataset_small, map_art):
+    """obstacle_min_dist above the cache cap (or <= 0) is a config
+    mistake, rejected loudly instead of degenerating silently
+    (advisor r2; match/associate.py)."""
+    import dataclasses
+    import pytest
+    from lsdtpu.config import DEFAULT
+    from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
+
+    ds = dataset_small
+    ctx = make_map_context(map_art.lines_info, map_art.map_cache,
+                           ds.param.resol, ds.param.ori_x, ds.param.ori_y)
+    frames = stack_frames(ds, dtype=np.float32, max_frames=2)
+    cfg = dataclasses.replace(DEFAULT, match=dataclasses.replace(
+        DEFAULT.match, obstacle_tolerance=0.2, obstacle_min_dist=1.5))
+    with pytest.raises(ValueError, match="obstacle_min_dist"):
+        run_sequence(frames, ctx, cfg)

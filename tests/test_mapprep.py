@@ -192,3 +192,23 @@ def test_fifo_growth_bit_exact_vs_oracle(dataset_small):
     np.testing.assert_allclose(got[:, 4:8], want[:, 4:8], rtol=0,
                                atol=1e-9)
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_fifo_growth_cap_is_never_silent():
+    """The FIFO queue's default cap (H*W) can never saturate - every
+    pixel enters the queue at most once - and an explicit undersized
+    cap raises at trace time instead of silently truncating growth
+    (ShapeConfig contract; VERDICT r2 weak #6)."""
+    import jax.numpy as jnp
+    import pytest
+    from lsdtpu.mapprep.lsd import _grow_fifo
+
+    H = W = 16
+    deg_map = jnp.zeros((H, W))          # uniform angle: grow everywhere
+    ban = jnp.zeros((H, W), bool)
+    cur, _ = _grow_fifo(jnp.int32(8), jnp.int32(8), jnp.float32(0.0),
+                        0.5, ban, deg_map)
+    assert int(np.asarray(cur).sum()) == H * W   # full flood, no cap
+    with pytest.raises(ValueError, match="cap"):
+        _grow_fifo(jnp.int32(8), jnp.int32(8), jnp.float32(0.0),
+                   0.5, ban, deg_map, cap=64)
