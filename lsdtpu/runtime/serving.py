@@ -18,10 +18,22 @@ from typing import Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lsdtpu.config import EngineConfig, DEFAULT
 from lsdtpu.runtime.loop import (MapContext, TrackState, init_state,
                                  localization_step)
+from lsdtpu.runtime.shard import DP_AXIS
+
+
+def make_pool_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D (dp,) mesh for spreading a session pool's slot axis across
+    chips - every tick's batched step then runs SPMD with zero
+    collectives (slots are independent robots)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (DP_AXIS,))
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -40,15 +52,38 @@ def _pool_step(states: TrackState, inputs, ctxs: MapContext, active,
 
 
 class SessionPool:
-    """Fixed-capacity pool of concurrent localization sessions."""
+    """Fixed-capacity pool of concurrent localization sessions.
+
+    mesh: optional 1-D (dp,) Mesh (make_pool_mesh) - the slot axis of
+    every per-tick array is then sharded over the mesh devices, so one
+    batched step call serves the fleet across ALL chips (slots are
+    independent: XLA partitions the vmapped step with no collectives;
+    results match single-device to FMA-contraction level - the
+    partitioned program's fusion choices differ).  The internal
+    slot count is padded up to a mesh multiple; the extra slots are
+    never handed out.
+    """
 
     def __init__(self, capacity: int, canvas_hw, cfg: EngineConfig = DEFAULT,
-                 dtype=np.float32):
+                 dtype=np.float32, mesh: Optional[Mesh] = None):
         from lsdtpu.match.associate import quantize_cache
         self.capacity = capacity
         self.cfg = cfg
         self.dtype = dtype
         self.H, self.W = canvas_hw
+        self._mesh = mesh
+        self._sharding = None
+        if mesh is not None:
+            if mesh.devices.ndim != 1 or mesh.axis_names != (DP_AXIS,):
+                raise ValueError(
+                    f"SessionPool mesh must be 1-D ({DP_AXIS},); got "
+                    f"{mesh.axis_names} shape {mesh.devices.shape}")
+            n = mesh.devices.size
+            capacity = -(-capacity // n) * n     # pad slots to the mesh
+            self._sharding = lambda arr: jax.device_put(
+                arr, NamedSharding(mesh, P(*([DP_AXIS] +
+                                             [None] * (arr.ndim - 1)))))
+        self._n_slots = capacity
         M = cfg.shapes.max_map_lines
         z = jnp.zeros
         # honor match.cache_dtype like make_map_context does (the
@@ -67,7 +102,12 @@ class SessionPool:
             ori_x=z((capacity,), dtype), ori_y=z((capacity,), dtype))
         self._states = jax.vmap(lambda _: init_state(jnp.dtype(dtype)))(
             jnp.arange(capacity))
-        self._free: List[int] = list(range(capacity))
+        if self._sharding is not None:
+            self._ctxs = jax.tree.map(self._sharding, self._ctxs)
+            self._states = jax.tree.map(self._sharding, self._states)
+        # only the user-requested capacity is ever handed out; padded
+        # slots (mesh multiple) stay permanently free
+        self._free: List[int] = list(range(self.capacity))
         self._sessions: Dict[str, int] = {}
         self._prev_odom: Dict[str, np.ndarray] = {}
         self._pending: Dict[int, tuple] = {}
@@ -161,7 +201,7 @@ class SessionPool:
         if not self._pending:
             return {}
         N = self.cfg.shapes.points_per_scan
-        B = self.capacity
+        B = self._n_slots
         z = np.zeros
         ranges = z((B, N), self.dtype)
         angles = z((B, N), self.dtype)
@@ -177,8 +217,14 @@ class SessionPool:
         inputs = (jnp.asarray(ranges), jnp.asarray(angles),
                   jnp.asarray(valid), jnp.asarray(counts),
                   jnp.asarray(prevs), jnp.asarray(curs))
+        active_dev = jnp.asarray(active)
+        if self._sharding is not None:
+            # shard every per-tick input on the slot axis so the jitted
+            # step runs SPMD over the mesh (outputs/state follow)
+            inputs = jax.tree.map(self._sharding, inputs)
+            active_dev = self._sharding(active_dev)
         self._states, outs = _pool_step(self._states, inputs, self._ctxs,
-                                        jnp.asarray(active), self.cfg)
+                                        active_dev, self.cfg)
         outs = {k: np.asarray(v) for k, v in outs.items()}
         results = {}
         for sid, slot in self._sessions.items():

@@ -63,11 +63,16 @@ def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None
     return Mesh(arr, (DP_AXIS, TP_AXIS))
 
 
-def _frames_spec():
-    return {
+def _frames_spec(has_reset: bool = False):
+    spec = {
         "ranges": P(DP_AXIS), "angles": P(DP_AXIS), "valid": P(DP_AXIS),
         "n": P(DP_AXIS), "odom_prev": P(DP_AXIS), "odom_cur": P(DP_AXIS),
     }
+    if has_reset:
+        # corpus replay (batch.stack_concat): per-frame reset flags ride
+        # the same (B, F) layout as every other frame input
+        spec["reset"] = P(DP_AXIS)
+    return spec
 
 
 def _ctx_spec():
@@ -114,8 +119,9 @@ def _pad_to_mesh(frames, ctxs: MapContext, n_dp: int, n_tp: int):
 _RUNNERS: dict = {}
 
 
-def _runner(mesh: Mesh, cfg: EngineConfig, kind: str):
-    key = (mesh, cfg, kind)
+def _runner(mesh: Mesh, cfg: EngineConfig, kind: str,
+            has_reset: bool = False):
+    key = (mesh, cfg, kind, has_reset)
     fn = _RUNNERS.get(key)
     if fn is not None:
         return fn
@@ -129,6 +135,15 @@ def _runner(mesh: Mesh, cfg: EngineConfig, kind: str):
             state = init_state(fr1["ranges"].dtype)
 
             def step(carry, f):
+                if "reset" in f:
+                    # corpus replay: a True flag re-initializes the
+                    # carry so each concatenated sequence's rollout is
+                    # bitwise its standalone rollout (loop.run_sequence
+                    # semantics, threaded through the sharded step)
+                    init = init_state(f["ranges"].dtype)
+                    carry = jax.tree.map(
+                        lambda a, b: jnp.where(f["reset"], a, b),
+                        init, carry)
                 inputs = (f["ranges"], f["angles"], f["valid"], f["n"],
                           f["odom_prev"], f["odom_cur"])
                 return localization_step(carry, inputs, cx1, cfg,
@@ -147,7 +162,7 @@ def _runner(mesh: Mesh, cfg: EngineConfig, kind: str):
             cache=P(DP_AXIS, MP_AXIS), rows=P(DP_AXIS), cols=P(DP_AXIS),
             resol=P(DP_AXIS), ori_x=P(DP_AXIS), ori_y=P(DP_AXIS))
     sfn = shard_map(device_fn, mesh=mesh,
-                    in_specs=(_frames_spec(), ctx_spec),
+                    in_specs=(_frames_spec(has_reset), ctx_spec),
                     out_specs=_out_spec(), check_vma=False)
     fn = _RUNNERS[key] = jax.jit(sfn)
     return fn
@@ -165,7 +180,7 @@ def run_batch_sharded(frames, ctxs: MapContext, mesh: Mesh,
     frames, ctxs, B = _pad_to_mesh(frames, ctxs, mesh.shape[DP_AXIS],
                                    mesh.shape[TP_AXIS])
     with mesh:
-        outs = _runner(mesh, cfg, "tp")(frames, ctxs)
+        outs = _runner(mesh, cfg, "tp", "reset" in frames)(frames, ctxs)
     return jax.tree.map(lambda a: a[:B], outs)
 
 
@@ -198,5 +213,5 @@ def run_batch_sharded_mapblocks(frames, ctxs: MapContext, mesh: Mesh,
         ctxs = dataclasses.replace(
             ctxs, cache=jnp.pad(ctxs.cache, ((0, 0), (0, pad), (0, 0))))
     with mesh:
-        outs = _runner(mesh, cfg, "mp")(frames, ctxs)
+        outs = _runner(mesh, cfg, "mp", "reset" in frames)(frames, ctxs)
     return jax.tree.map(lambda a: a[:B], outs)
