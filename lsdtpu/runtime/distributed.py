@@ -50,6 +50,33 @@ def initialize(coordinator_address: Optional[str] = None,
                                num_processes=n, process_id=pid)
 
 
+def globalize_batch(frames, ctxs, mesh, inner: str = TP_AXIS):
+    """Host-replicated numpy pytrees -> global jax.Arrays for a pod mesh.
+
+    In the multi-controller model every process holds the FULL batch as
+    numpy (loaders are host-side); jit over a mesh spanning processes
+    needs proper global arrays - a bare numpy leaf would be committed to
+    one local device.  Each leaf is built shard-by-shard with
+    jax.make_array_from_callback using the same PartitionSpecs the
+    sharded runners compile with, so `run_batch_sharded*` accepts the
+    result unchanged on a real pod.  No-op-equivalent on single-process
+    meshes (the specs just pre-place the shards)."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    from lsdtpu.runtime.shard import _ctx_spec, _frames_spec
+
+    def one(x, spec):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, NamedSharding(mesh, spec), lambda idx: x[idx])
+
+    fspec = _frames_spec("reset" in frames)
+    kind = "tp" if inner == TP_AXIS else "mp"
+    return (jax.tree.map(one, frames, fspec),
+            jax.tree.map(one, ctxs, _ctx_spec(kind)))
+
+
 def make_pod_mesh(inner: str = TP_AXIS):
     """(dp, inner) mesh with dp = number of hosts (DCN axis) and the
     inner axis spanning each host's local chips (ICI axis).

@@ -75,10 +75,15 @@ def _frames_spec(has_reset: bool = False):
     return spec
 
 
-def _ctx_spec():
+def _ctx_spec(kind: str = "tp"):
+    if kind == "tp":
+        return MapContext(
+            lines=P(DP_AXIS, TP_AXIS), lines_mask=P(DP_AXIS, TP_AXIS),
+            cache=P(DP_AXIS), rows=P(DP_AXIS), cols=P(DP_AXIS),
+            resol=P(DP_AXIS), ori_x=P(DP_AXIS), ori_y=P(DP_AXIS))
     return MapContext(
-        lines=P(DP_AXIS, TP_AXIS), lines_mask=P(DP_AXIS, TP_AXIS),
-        cache=P(DP_AXIS), rows=P(DP_AXIS), cols=P(DP_AXIS),
+        lines=P(DP_AXIS), lines_mask=P(DP_AXIS),
+        cache=P(DP_AXIS, MP_AXIS), rows=P(DP_AXIS), cols=P(DP_AXIS),
         resol=P(DP_AXIS), ori_x=P(DP_AXIS), ori_y=P(DP_AXIS))
 
 
@@ -154,13 +159,7 @@ def _runner(mesh: Mesh, cfg: EngineConfig, kind: str,
 
         return jax.vmap(one_seq)(fr, cx)
 
-    if kind == "tp":
-        ctx_spec = _ctx_spec()
-    else:
-        ctx_spec = MapContext(
-            lines=P(DP_AXIS), lines_mask=P(DP_AXIS),
-            cache=P(DP_AXIS, MP_AXIS), rows=P(DP_AXIS), cols=P(DP_AXIS),
-            resol=P(DP_AXIS), ori_x=P(DP_AXIS), ori_y=P(DP_AXIS))
+    ctx_spec = _ctx_spec(kind)
     sfn = shard_map(device_fn, mesh=mesh,
                     in_specs=(_frames_spec(has_reset), ctx_spec),
                     out_specs=_out_spec(), check_vma=False)
