@@ -32,7 +32,12 @@ import time
 import numpy as np
 
 DATA = "/root/reference/data_20190513/data_f3key/data1"
-REPEATS = 3
+# >= 3 timed repeats complete BEFORE any device->host transfer (the
+# axon tunnel has wedged on exactly that transfer); the headline value
+# is the MEDIAN repeat - one sample taken right before a hang is not a
+# measurement (VERDICT r2 weak #1).  Repeats are cheap (~1 ms each vs
+# ~30 s compile), so take a few extra for a stable median.
+REPEATS = 5
 FALLBACK_BASELINE = 105.2  # oracle scans/s measured on this host 2026-08-17
 
 
@@ -156,7 +161,11 @@ def main():
     import jax
 
     probe_s = float(os.environ.get("LSDTPU_PROBE_TIMEOUT", "90"))
-    if not device_healthy(probe_s):
+    if os.environ.get("LSDTPU_BENCH_BACKEND") == "cpu":
+        # explicit CPU run (protocol testing / CI) - skip the probe
+        log("LSDTPU_BENCH_BACKEND=cpu - forcing the host CPU backend")
+        jax.config.update("jax_platforms", "cpu")
+    elif not device_healthy(probe_s):
         # wedged tunnel / no device: measure on the CPU backend instead
         # of hanging into the watchdog's zero marker.  Logged loudly -
         # the recorded number is then host-CPU, not TPU.
@@ -209,55 +218,63 @@ def main():
     outs = jax.block_until_ready(run_sequence(frames, ctx, cfg))
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
 
+    import statistics
     times = []
+
+    def result_json(extra=None):
+        # the headline is the MEDIAN of the completed repeats (min/max
+        # are carried for the noise band); updated after every repeat
+        # so the watchdog can always report a valid measurement
+        med = statistics.median(times)
+        rec = {
+            "metric": "scans_per_sec",
+            "value": round(F / med, 1),
+            "unit": "scans/s",
+            "vs_baseline": round(F / med / baseline, 2),
+            "n_repeats": len(times),
+            "median_ms": round(med * 1e3, 3),
+            "min_ms": round(min(times) * 1e3, 3),
+            "max_ms": round(max(times) * 1e3, 3),
+            "max_scans_per_sec": round(F / min(times), 1),
+            "baseline_scans_per_sec": round(baseline, 1),
+            # vs the real C++ engine when buildable, else numpy oracle
+            "baseline_kind": baseline_kind,
+            # machine-readable record of WHICH backend produced the
+            # number (the probe may have rerouted a wedged TPU to CPU)
+            "backend": jax.default_backend()}
+        rec.update(extra or {})
+        return json.dumps(rec)
 
     def timed_run():
         t0 = time.perf_counter()
         jax.block_until_ready(run_sequence(frames, ctx, cfg))
         times.append(time.perf_counter() - t0)
-        BEST["json"] = json.dumps({
-            "metric": "scans_per_sec",
-            "value": round(F / min(times), 1),
-            "unit": "scans/s",
-            "vs_baseline": round(F / min(times) / baseline, 2),
-            "baseline_scans_per_sec": round(baseline, 1),
-            "baseline_kind": baseline_kind,
-            "backend": jax.default_backend()})
+        BEST["json"] = result_json()
         log(f"  repeat: {times[-1] * 1e3:.2f} ms")
 
-    # One timed run FIRST so BEST is armed before the device->host
-    # transfer below - the axon tunnel has wedged on exactly that
-    # transfer after a full bench (round 1), and the watchdog can then
-    # still report a valid measurement.
-    timed_run()
+    # ALL timed repeats complete before the device->host transfer below
+    # (the axon tunnel has wedged on exactly that transfer after a full
+    # bench - round 1); BEST is re-armed after every repeat, so a hang
+    # mid-protocol still reports the median of what completed.
+    for _ in range(REPEATS):
+        timed_run()
+    med = statistics.median(times)
+    scans_per_sec = F / med
 
     poses = np.asarray(outs["pose"])
     scores = np.asarray(outs["score"])
-    for _ in range(REPEATS - 1):
-        timed_run()
-    best = min(times)
-    scans_per_sec = F / best
     a = eval_ate.keyframe_ate(poses, ds.real_pos, ds.recorded_odom,
                               ds.param.resol, ds.param.ori_x, ds.param.ori_y)
     tracked = int(np.isfinite(scores).sum())
-    log(f"{F} frames in {best * 1e3:.2f} ms ({scans_per_sec:.0f} scans/s); "
+    log(f"{F} frames, median {med * 1e3:.2f} ms over {len(times)} repeats "
+        f"({scans_per_sec:.0f} scans/s; min {min(times) * 1e3:.2f} ms); "
         f"ATE rmse {a.rmse:.3f} m, tracked {tracked}/{F}")
     if tracked < F or not np.isfinite(a.rmse):
         log("WARNING: tracking degraded - throughput number suspect")
 
     watchdog.cancel()
-    print(json.dumps({
-        "metric": "scans_per_sec",
-        "value": round(scans_per_sec, 1),
-        "unit": "scans/s",
-        "vs_baseline": round(scans_per_sec / baseline, 2),
-        "baseline_scans_per_sec": round(baseline, 1),
-        # vs the real C++ engine when buildable, else the numpy oracle
-        "baseline_kind": baseline_kind,
-        # machine-readable record of WHICH backend produced the number
-        # (the probe above may have rerouted a wedged TPU run to CPU)
-        "backend": jax.default_backend(),
-    }))
+    print(result_json({"ate_rmse_m": round(float(a.rmse), 4),
+                       "tracked": tracked, "frames": F}))
 
 
 if __name__ == "__main__":
