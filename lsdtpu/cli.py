@@ -430,7 +430,16 @@ def cmd_batch(args) -> int:
                                z_occ_max_dis=cfg.map.z_occ_max_dis)
         frames, bounds = stack_concat(dss)
         t0 = time.perf_counter()
-        outs = jax.block_until_ready(run_sequence(frames, ctx, cfg))
+        if args.temporal > 1:
+            # segment-parallel replay: the stream split over devices
+            # with speculative cold starts (runtime/temporal.py;
+            # px-level warmup tolerance vs the sequential chain)
+            from lsdtpu.runtime.temporal import (make_mesh_sp,
+                                                 run_sequence_temporal)
+            outs = run_sequence_temporal(frames, ctx, make_mesh_sp(),
+                                         cfg, n_segments=args.temporal)
+        else:
+            outs = jax.block_until_ready(run_sequence(frames, ctx, cfg))
         dt = time.perf_counter() - t0
         sc = np.asarray(outs["score"])
         for b in range(len(dss)):
@@ -570,6 +579,11 @@ def main(argv=None) -> int:
     p.add_argument("--concat", action="store_true",
                    help="corpus replay: ONE lax.scan over all sequences "
                         "(must share the map) instead of a vmap batch")
+    p.add_argument("--temporal", type=int, default=1, metavar="S",
+                   help="with --concat: split the stream into S "
+                        "segments rolled out in parallel across devices "
+                        "(speculative cold starts + warmup; px-level "
+                        "tolerance vs sequential - runtime/temporal.py)")
     _add_cfg_args(p)
     p.set_defaults(fn=cmd_batch)
 
