@@ -152,7 +152,7 @@ def _grow_fifo(seed_y, seed_x, seed_deg, deg_thre, ban, deg_map,
                                   pop_step, s)
 
     out = jax.lax.while_loop(lambda s: s["ex"] != s["grow"], pass_body, st)
-    return out["cur"], out["deg"]
+    return out["cur"], out["deg"], out["qy"], out["qx"], out["grow"]
 
 
 @partial(jax.jit, static_argnames=("sca", "sig", "ang_thre", "den_thre",
@@ -232,20 +232,27 @@ def line_segment_detector(map_gray: jnp.ndarray, sca: float = 0.3,
 
         ban = s["used"] == 1
         seed_deg = deg_map[sy, sx]
-        grow_impl = _grow_fifo if growth == "fifo" else _grow
-        cur, reg_deg = grow_impl(sy, sx, seed_deg, deg_thre, ban, deg_map)
-        size = jnp.sum(cur)
+        fifo = growth == "fifo"
+        if fifo:
+            cur, reg_deg, _qy, _qx, size = _grow_fifo(
+                sy, sx, seed_deg, deg_thre, ban, deg_map)
+        else:
+            cur, reg_deg = _grow(sy, sx, seed_deg, deg_thre, ban, deg_map)
+            size = jnp.sum(cur)
 
         def process(_):
             rec = mrect.rectangle_converter(cur, reg_deg, mag, ali_pro,
                                             deg_thre)
 
             def grow_fn(cen_deg, new_thre):
-                return grow_impl(sy, sx, cen_deg, new_thre, ban, deg_map)
+                if fifo:
+                    return _grow_fifo(sy, sx, cen_deg, new_thre, ban,
+                                      deg_map)
+                return _grow(sy, sx, cen_deg, new_thre, ban, deg_map)
 
             ok, cur2, _rd, rec2 = mrect.refiner(
                 sx.astype(dt), sy.astype(dt), reg_deg, cur, rec, mag,
-                deg_map, den_thre, deg_thre, grow_fn)
+                deg_map, den_thre, deg_thre, grow_fn, exact_order=fifo)
 
             def validated(_):
                 log_nfa, rec3 = mnfa.rectangle_improver(rec2, deg_map,

@@ -22,7 +22,10 @@ SURVEY.md section 2.1:
 
 Deliberate deviations from the reference (documented, UB in C++):
   * RegionRadiusReducer's removal loop reads one element past the live
-    region (`i <= num`, myLSD.cpp:779); we iterate only live points;
+    region (`i <= num`, myLSD.cpp:761); the phantom slot is (0,0) on
+    this platform (fresh sbrk heap / NULLed swap slot) and its "drop"
+    kills the real last point - REPLICATED deterministically (see
+    region_radius_reducer);
   * the lineIm marking loop can overrun the sampled array when the
     floor/ceil spans disagree with the range comparison (myLSD.cpp:325);
     we mark exactly the sampled points;
@@ -100,12 +103,26 @@ def gaussian_kernels(sca: float, sig: float) -> Tuple[np.ndarray, int]:
     h = int(math.ceil(sig * math.sqrt(2 * prec * math.log(10))))
     h_size = 1 + 2 * h
     k = np.arange(h_size, dtype=np.float64)
+    # math.exp == glibc exp (what the compiled reference calls); np.exp
+    # is numpy's SIMD implementation and differs at the last ulp on
+    # some inputs, which poisons every Gaussian output downstream
+    # (measured: 4/51 taps differ - parity_trace.py)
+    _exp = np.vectorize(math.exp, otypes=[np.float64])
     ker = np.stack([
-        np.exp(-0.5 * ((k - h) / sig) ** 2),
-        np.exp(-0.5 * ((k - h - 1.0 / 3) / sig) ** 2),
-        np.exp(-0.5 * ((k - h + 1.0 / 3) / sig) ** 2),
+        _exp(-0.5 * ((k - h) / sig) ** 2),
+        _exp(-0.5 * ((k - h - 1.0 / 3) / sig) ** 2),
+        _exp(-0.5 * ((k - h + 1.0 / 3) / sig) ** 2),
     ])
-    ker /= ker.sum(axis=1, keepdims=True)
+    # normalize by the SEQUENTIAL tap sum (kerSum += kerVal[k], one
+    # rounded add per tap, myLSD.cpp:404-411) - np.sum's 8-accumulator
+    # pairwise loop rounds differently at the last ulp, and that ulp
+    # propagates through the convolution into the gradient bins and
+    # flips seed order vs the compiled reference (parity_trace.py)
+    for r in range(3):
+        s = 0.0
+        for v in ker[r].tolist():
+            s += v
+        ker[r] /= s
     return ker, h
 
 
@@ -130,14 +147,22 @@ def gaussian_sampler(image: np.ndarray, sca: float, sig: float) -> np.ndarray:
     jx = _reflect_indices(xc, h, x_lim)             # (new_x, hSize)
     kx = ker[xs % 3]                                # (new_x, hSize)
     img = image.astype(np.float64)
-    # aux[y, x] = sum_i img[y, jx[x, i]] * kx[x, i]
-    aux = np.einsum('yxi,xi->yx', img[:, jx], kx)
+    # aux[y, x] = sum_i img[y, jx[x, i]] * kx[x, i], accumulated IN TAP
+    # ORDER (newVal += image[j] * kerVal[i], myLSD.cpp:434-445): each
+    # add is one rounded double op exactly like the reference; einsum's
+    # dot-product reduction rounds differently at the last ulp (see
+    # gaussian_kernels note)
+    aux = np.zeros((y_lim, new_x), dtype=np.float64)
+    for i in range(2 * h + 1):
+        aux += img[:, jx[:, i]] * kx[None, :, i]
 
     ys = np.arange(new_y)
     yc = np.floor(ys / sca + 0.5).astype(np.int64)
     jy = _reflect_indices(yc, h, y_lim)             # (new_y, hSize)
     ky = ker[ys % 3]
-    new_image = np.einsum('yix,yi->yx', aux[jy, :], ky)
+    new_image = np.zeros((new_y, new_x), dtype=np.float64)
+    for i in range(2 * h + 1):
+        new_image += aux[jy[:, i], :] * ky[:, i, None]
     return new_image
 
 
@@ -164,8 +189,10 @@ def gradient_field(gauss: np.ndarray, deg_thre: float
     d = gauss[:-1, :-1]
     gx = (b + d - a - c) / 2.0
     gy = (c + d - a - b) / 2.0
-    m = np.sqrt(gx * gx + gy * gy)
-    v = np.arctan2(gx, -gy)
+    m = np.sqrt(gx * gx + gy * gy)     # np.sqrt is IEEE-exact
+    # glibc atan2 exactly (np.arctan2 differs at the last ulp on ~7%
+    # of inputs - the degMap feeds growth accepts and angle sums)
+    v = np.frompyfunc(math.atan2, 2, 1)(gx, -gy).astype(np.float64)
     v = np.where(np.abs(v - PI) < 1e-6, 0.0, v)
     mag[1:, 1:] = m
     deg[1:, 1:] = v
@@ -269,22 +296,36 @@ class Rect:
     prec: float
 
 
+def _seq_sum(a: np.ndarray) -> float:
+    """Strict left-to-right accumulation - one rounded add per element,
+    exactly like the reference's `s += v` loops.  np.sum uses pairwise/
+    unrolled partial accumulators whose last-ulp rounding differs, and
+    that ulp propagates into seed bins and rectangle endpoints
+    (scripts/refbench/parity_trace.py).  np.add.accumulate is
+    sequential by definition (it must produce every prefix)."""
+    a = np.asarray(a, dtype=np.float64)
+    return float(np.add.accumulate(a)[-1]) if a.size else 0.0
+
+
 def center_getter(xs: np.ndarray, ys: np.ndarray, wei_map: np.ndarray
                   ) -> Tuple[float, float]:
     w = wei_map[ys, xs]
-    ws = w.sum()
-    return float((w * xs).sum() / ws), float((w * ys).sum() / ws)
+    ws = _seq_sum(w)
+    return _seq_sum(w * xs) / ws, _seq_sum(w * ys) / ws
 
 
 def orientation_getter(reg: Region, cen_x: float, cen_y: float,
                        wei_map: np.ndarray, deg_thre: float) -> float:
     w = wei_map[reg.ys, reg.xs]
-    ws = w.sum()
+    ws = _seq_sum(w)
     dx = reg.xs - cen_x
     dy = reg.ys - cen_y
-    ixx = float((w * dy * dy).sum() / ws)
-    iyy = float((w * dx * dx).sum() / ws)
-    ixy = float(-(w * dx * dy).sum() / ws)
+    # term grouping mirrors the reference exactly: Ixx += w*pow(dy,2)
+    # = w*(dy*dy); Ixy -= (w*dx)*dy (myLSD.cpp:638-642); negating after
+    # the sum is exact (symmetric rounding)
+    ixx = _seq_sum(w * (dy * dy)) / ws
+    iyy = _seq_sum(w * (dx * dx)) / ws
+    ixy = -_seq_sum((w * dx) * dy) / ws
     lamb = (ixx + iyy - math.sqrt((ixx - iyy) ** 2 + 4 * ixy * ixy)) / 2.0
     if abs(ixx) > abs(iyy):
         inertia = math.atan2(lamb - ixx, ixy)
@@ -332,53 +373,93 @@ def _density(reg: Region, rec: Rect) -> float:
 def region_radius_reducer(reg: Region, rec: Rect, den_thre: float,
                           cur_map: np.ndarray, mag_map: np.ndarray
                           ) -> Tuple[bool, np.ndarray, Region, Rect]:
-    """Shrink the region radius x0.75 until density passes (myLSD.cpp:736-802).
-
-    Deviation: reference iterates `i <= num` reading one past the live
-    array (UB); we iterate live points only.
-    """
+    """Shrink the region radius x0.75 until density passes (myLSD.cpp:736-802),
+    including the `i <= num` phantom-slot behavior (see inline note)."""
     den = _density(reg, rec)
     if den > den_thre:
         return True, cur_map, reg, rec
     ori_x, ori_y = reg.x, reg.y
-    rad1 = math.hypot(ori_x - rec.x1, ori_y - rec.y1)
-    rad2 = math.hypot(ori_x - rec.x2, ori_y - rec.y2)
-    rad = max(rad1, rad2)
-    xs, ys = reg.xs.copy(), reg.ys.copy()
+    # sqrt(pow(dx,2)+pow(dy,2)) exactly (myLSD.cpp:752-753); math.hypot
+    # rounds differently
+    rad1 = math.sqrt((ori_x - rec.x1) ** 2 + (ori_y - rec.y1) ** 2)
+    rad2 = math.sqrt((ori_x - rec.x2) ** 2 + (ori_y - rec.y2) ** 2)
+    rad = rad1 if rad1 > rad2 else rad2
+    xs, ys = list(reg.xs.tolist()), list(reg.ys.tolist())
     while den < den_thre:
         rad *= 0.75
-        d = np.hypot(ori_x - xs, ori_y - ys)
-        drop = d > rad
-        if drop.any():
-            cur_map[ys[drop], xs[drop]] = 0
-            xs, ys = xs[~drop], ys[~drop]
+        # swap-with-last removal IN ORDER (myLSD.cpp:761-773): the point
+        # order fed to RectangleConverter is this exact permutation (its
+        # weighted sums accumulate sequentially, so order matters).
+        i = 0
+        while i < len(xs):
+            dsq = (ori_x - xs[i]) ** 2 + (ori_y - ys[i]) ** 2
+            if math.sqrt(dsq) > rad:
+                cur_map[ys[i], xs[i]] = 0
+                xs[i] = xs[-1]
+                ys[i] = ys[-1]
+                xs.pop()
+                ys.pop()
+            else:
+                i += 1
+        # the reference's loop runs `i <= num` (myLSD.cpp:761): the final
+        # iteration reads ONE SLOT PAST the live array.  That slot holds
+        # (0, 0) both on fresh heap (sbrk-zeroed) and after any in-pass
+        # swap removal (the vacated slot is NULLed, myLSD.cpp:768-769) -
+        # verified against the compiled binary (parity_trace.py seed
+        # 352).  (0,0) is essentially always farther than rad, so the
+        # phantom "drop" kills the REAL last point: it vanishes from the
+        # region while its curMap pixel stays set (only curMap[0][0] is
+        # cleared), exactly as below.
+        if math.sqrt(ori_x ** 2 + ori_y ** 2) > rad and xs:
+            cur_map[0, 0] = 0
+            xs.pop()
+            ys.pop()
         if len(xs) < 2:
             return False, cur_map, reg, rec
-        reg = Region(x=reg.x, y=reg.y, deg=reg.deg, xs=xs, ys=ys)
+        reg = Region(x=reg.x, y=reg.y, deg=reg.deg,
+                     xs=np.asarray(xs, dtype=np.int64),
+                     ys=np.asarray(ys, dtype=np.int64))
         rec = rectangle_converter(reg, mag_map, rec.p, rec.prec)
         den = _density(reg, rec)
     return True, cur_map, reg, rec
 
 
 def refiner(reg: Region, rec: Rect, den_thre: float, deg_map: np.ndarray,
-            ban_map: np.ndarray, cur_map: np.ndarray, mag_map: np.ndarray
-            ) -> Tuple[bool, np.ndarray, Region, Rect]:
+            ban_map: np.ndarray, cur_map: np.ndarray, mag_map: np.ndarray,
+            trace=None) -> Tuple[bool, np.ndarray, Region, Rect]:
     """Re-estimate the angle tolerance and regrow (myLSD.cpp:804-880)."""
     den = _density(reg, rec)
     if den >= den_thre:
         return True, cur_map, reg, rec
     ori_x, ori_y = reg.x, reg.y
     cen_deg = deg_map[ori_y, ori_x]
-    d = np.hypot(ori_x - reg.xs, ori_y - reg.ys)
-    near = d < rec.wid
+    # sqrt of exact integer squares == hypot here, but keep the C++ form
+    ddx = (ori_x - reg.xs).astype(np.float64)
+    ddy = (ori_y - reg.ys).astype(np.float64)
+    near = np.sqrt(ddx * ddx + ddy * ddy) < rec.wid
     cur_degs = deg_map[reg.ys[near], reg.xs[near]]
     deg_dif = cur_degs - cen_deg
-    # wrap to (-pi, pi] (reference uses while loops; vectorized equivalent)
-    deg_dif = np.mod(deg_dif + PI, 2 * PI)
-    deg_dif = np.where(deg_dif == 0.0, 2 * PI, deg_dif) - PI
-    dif_sum = float(deg_dif.sum())
-    squ_sum = float((deg_dif * deg_dif).sum())
+    # wrap to (-pi, pi] by REPEATED +-2pi exactly like the reference's
+    # while loops (myLSD.cpp:845-850): each correction is one rounded
+    # add, and np.mod rounds differently at the last ulp
+    while True:
+        low = deg_dif <= -PI
+        if not low.any():
+            break
+        deg_dif = np.where(low, deg_dif + 2 * PI, deg_dif)
+    while True:
+        high = deg_dif > PI
+        if not high.any():
+            break
+        deg_dif = np.where(high, deg_dif - 2 * PI, deg_dif)
+    dif_sum = _seq_sum(deg_dif)
+    squ_sum = _seq_sum(deg_dif * deg_dif)
     pt_num = int(near.sum())
+    if trace is not None:
+        _t = 2.0 * math.sqrt((squ_sum - 2 * (dif_sum / pt_num) * dif_sum)
+                             / pt_num + (dif_sum / pt_num) ** 2) \
+            if pt_num else float("nan")
+        trace.write(f"RETHRE {pt_num} {dif_sum!r} {squ_sum!r} {_t!r}\n")
     mean_dif = dif_sum / pt_num if pt_num else float('nan')
     deg_thre = 2.0 * math.sqrt(
         (squ_sum - 2 * mean_dif * dif_sum) / pt_num + mean_dif * mean_dif
@@ -663,6 +744,14 @@ def _line_info_from_endpoints(x1: float, y1: float, x2: float, y2: float,
                     dtype=np.float64)
 
 
+def _trace_used(trace, used_map) -> None:
+    ys, xs = np.nonzero(used_map == 2)
+    hx = int((ys * 1315423911 + xs).sum())
+    y1, x1 = np.nonzero(used_map == 1)
+    h1 = int(((y1 * 131071 + x1) * (x1 + 7)).sum())
+    trace.write(f"USED {len(y1)} {len(xs)} {hx} {h1}\n")
+
+
 @dataclasses.dataclass
 class LSDResult:
     line_im: np.ndarray       # (oriMapRow, oriMapCol) uint8
@@ -671,11 +760,15 @@ class LSDResult:
 
 def line_segment_detector(map_gray: np.ndarray, sca: float = 0.3,
                           sig: float = 0.6, ang_thre: float = 22.5,
-                          den_thre: float = 0.7, pse_bin: int = 1024
-                          ) -> LSDResult:
+                          den_thre: float = 0.7, pse_bin: int = 1024,
+                          trace=None) -> LSDResult:
     """Full LSD forward pass.  NOTE: mutates map_gray in place
     (1<->255 remap skipping row/col 0, myLSD.cpp:135-142), exactly like
-    the reference."""
+    the reference.
+
+    trace: optional file object receiving one record per processed
+    seed in the format of scripts/refbench/trace_lsd.cpp, for seed-by-
+    seed parity diffing against the compiled reference engine."""
     ori_row, ori_col = map_gray.shape
     new_col = int(math.floor(ori_col * sca))
     new_row = int(math.floor(ori_row * sca))
@@ -695,24 +788,57 @@ def line_segment_detector(map_gray: np.ndarray, sca: float = 0.3,
     reg_thre = -log_nt / math.log10(ang_thre / 180.0)
     ali_pro = ang_thre / 180.0
 
+    import os as _os
+    if trace is not None:
+        n_seeds = len(seed_ys)
+        trace.write(f"META {new_col} {new_row} {n_seeds} "
+                    f"{max_grad!r}\n")
     line_im = np.zeros((ori_row, ori_col), dtype=np.uint8)
     infos: List[np.ndarray] = []
-    for y_idx, x_idx in zip(seed_ys.tolist(), seed_xs.tolist()):
+    for i, (y_idx, x_idx) in enumerate(zip(seed_ys.tolist(),
+                                           seed_xs.tolist())):
         if used_map[y_idx, x_idx] != 0:
             continue
         cur_map, reg = region_grower(x_idx, y_idx, used_map,
                                      deg_map[y_idx, x_idx], deg_map,
                                      deg_thre)
+        if trace is not None and _os.environ.get("TRACE_SEED") and \
+                i == int(_os.environ["TRACE_SEED"]):
+            pts = " ".join(f"{a},{b}" for a, b in zip(reg.xs, reg.ys))
+            trace.write(f"GROW0 {len(reg.xs)}: {pts}\n")
+            trace.write(f"GROWDEG {reg.deg!r}\n")
         if len(reg.xs) < reg_thre:
+            if trace is not None:
+                trace.write(f"SEED {i} {x_idx} {y_idx} {len(reg.xs)} "
+                            "small\n")
             continue
         rec = rectangle_converter(reg, mag_map, ali_pro, deg_thre)
+        _tr = (trace is not None and _os.environ.get("TRACE_SEED")
+               and i == int(_os.environ["TRACE_SEED"]))
+        if _tr:
+            trace.write(f"REFINE den {_density(reg, rec)!r} "
+                        f"wid {rec.wid!r}\n")
         ok, cur_map, reg, rec = refiner(reg, rec, den_thre, deg_map,
-                                        used_map, cur_map, mag_map)
+                                        used_map, cur_map, mag_map,
+                                        trace=trace if _tr else None)
+        if _tr:
+            trace.write(f"POSTREFINE {int(ok)} {len(reg.xs)}\n")
         if not ok:
+            if trace is not None:
+                trace.write(f"SEED {i} {x_idx} {y_idx} {len(reg.xs)} "
+                            "refine_fail\n")
             continue
         log_nfa, rec = rectangle_improver(rec, deg_map, log_nt)
+        if trace is not None:
+            trace.write(
+                f"SEED {i} {x_idx} {y_idx} {len(reg.xs)} ok "
+                f"{rec.x1!r} {rec.y1!r} {rec.x2!r} {rec.y2!r} "
+                f"{rec.wid!r} {rec.p!r} {log_nfa!r} "
+                f"{int(log_nfa > 0)}\n")
         if log_nfa <= 0:
             used_map[cur_map == 1] = 2
+            if trace is not None:
+                _trace_used(trace, used_map)
             continue
         if sca != 1:
             rec = dataclasses.replace(
@@ -721,6 +847,8 @@ def line_segment_detector(map_gray: np.ndarray, sca: float = 0.3,
                 x2=(rec.x2 - 1.0) / sca + 1, y2=(rec.y2 - 1.0) / sca + 1,
                 wid=(rec.wid - 1.0) / sca + 1)
         used_map[cur_map == 1] = 1
+        if trace is not None:
+            _trace_used(trace, used_map)
         infos.append(_line_info_from_endpoints(
             rec.x1, rec.y1, rec.x2, rec.y2, ori_col, ori_row, line_im))
     lines = (np.stack(infos, axis=0) if infos

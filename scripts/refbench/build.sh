@@ -24,3 +24,11 @@ g++ -O2 -w -std=c++14 -o "$OUT/lsd_refbench" \
     "$REF/myFA.cpp" -x c "$REF/threadpool.c" \
     -lopencv_core -lopencv_imgproc -lpthread
 echo "built $OUT/lsd_refbench"
+
+# per-seed LSD trace driver (parity_trace.py)
+g++ -O2 -w -std=c++14 -o "$OUT/lsd_trace" \
+    -I"$REF" -I"$OUT/shim" -I"$EIGEN" \
+    -I/usr/include/opencv4 -I/usr/include/opencv4/opencv2 \
+    "$HERE/trace_lsd.cpp" "$REF/baseFunc.cpp" "$REF/myLSD.cpp" \
+    -lopencv_core -lopencv_imgproc
+echo "built $OUT/lsd_trace"

@@ -85,18 +85,38 @@ def _match_lines(a: np.ndarray, b: np.ndarray, tol: float):
 
 
 def test_lsd_matches_oracle_line_set(map1):
-    """Same wall set as the oracle, with geometric tolerance: seed tie
-    order is implementation-defined even in the reference (unstable
-    qsort, SURVEY.md 2.1) and quantization-bin boundaries sit within
-    FMA noise of each other near the gradient maximum, so pixel-order
-    effects shift endpoints by a few px; wall identity must agree."""
+    """Wave mode (fast structural tier): same wall set as the oracle
+    up to geometric tolerance and small count drift.  The oracle now
+    replicates the compiled reference's point-order-dependent radius
+    reducer incl. its phantom-slot quirk (oracle/lsd.py), which a
+    mask-based wave pass cannot express - sparse fringe regions can
+    split/merge differently.  Exact line sets are the fifo tier
+    (test_fifo_growth_bit_exact_vs_oracle)."""
+    import jax.numpy as jnp
     from lsdtpu.mapprep.lsd import line_segment_detector
-    want = olsd.line_segment_detector(map1.copy()).lines_info
+    from lsdtpu.render import render_line_image
+    res = olsd.line_segment_detector(map1.copy())
+    want = res.lines_info
     lines, mask, n, _ = line_segment_detector(map1.copy())
     got = np.asarray(lines)[np.asarray(mask)]
-    assert len(got) == len(want), (len(got), len(want))
-    m = _match_lines(got, want, tol=25.0)
-    assert m == len(want), f"only {m}/{len(want)} walls matched"
+    assert abs(len(got) - len(want)) <= 2, (len(got), len(want))
+    # rasterized wall coverage: the wave set must trace the same wall
+    # pixels the oracle set does (within a 2-px dilation), both ways
+    H, W = map1.shape
+    im_w = np.asarray(res.line_im) > 0
+    im_g = np.asarray(render_line_image(
+        jnp.asarray(got), jnp.ones(len(got), bool), H, W)) > 0
+
+    def dilate(im, r=2):
+        out = np.zeros_like(im)
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                out |= np.roll(np.roll(im, dy, 0), dx, 1)
+        return out
+
+    cov_wg = (im_w & dilate(im_g)).sum() / im_w.sum()
+    cov_gw = (im_g & dilate(im_w)).sum() / im_g.sum()
+    assert cov_wg > 0.9 and cov_gw > 0.9, (cov_wg, cov_gw)
 
 
 def test_prepare_map_full_map_matches_oracle_ate_level(dataset_small):
@@ -206,8 +226,8 @@ def test_fifo_growth_cap_is_never_silent():
     H = W = 16
     deg_map = jnp.zeros((H, W))          # uniform angle: grow everywhere
     ban = jnp.zeros((H, W), bool)
-    cur, _ = _grow_fifo(jnp.int32(8), jnp.int32(8), jnp.float32(0.0),
-                        0.5, ban, deg_map)
+    cur, _, _, _, _ = _grow_fifo(jnp.int32(8), jnp.int32(8),
+                                 jnp.float32(0.0), 0.5, ban, deg_map)
     assert int(np.asarray(cur).sum()) == H * W   # full flood, no cap
     with pytest.raises(ValueError, match="cap"):
         _grow_fifo(jnp.int32(8), jnp.int32(8), jnp.float32(0.0),

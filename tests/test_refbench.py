@@ -38,3 +38,45 @@ def test_refbench_builds_and_runs(tmp_path):
     # either a tracked pose inside the map or the reset sentinel is legal
     for row in poses:
         assert (row[0] == -1.0) or (0 <= row[0] <= 1440)
+
+
+@pytest.mark.skipif(not (os.path.isdir(REF) and os.path.isdir(DATA)),
+                    reason="reference mount unavailable")
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
+def test_map_artifacts_bitwise_parity_small_maps(tmp_path):
+    """Oracle map prep is BITWISE the compiled reference engine's on
+    the small bundled maps: mapCache elementwise-identical AND the LSD
+    line list equal IN EXTRACTION ORDER with zero endpoint diff
+    (round-3 parity closure - scripts/refbench/parity_trace.py
+    documents the five replicated rounding/UB behaviors)."""
+    import sys
+    sys.path.insert(0, os.path.join(REPO, "scripts", "refbench"))
+    import parity_map as pm
+    if not os.path.exists(BIN):
+        subprocess.run(
+            ["sh", os.path.join(REPO, "scripts", "refbench", "build.sh")],
+            check=True, capture_output=True, timeout=300)
+    for name, pf, vf in pm.EXTRA_MAPS[:2]:        # map1, map2 (fast)
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            rec = pm.compare_map(pm._extra_map_dir(td, pf, vf), name)
+        assert rec["cache_diff"] == 0.0, rec
+        assert rec["n_ref"] == rec["n_ours"], rec
+        assert rec["order_max_diff"] == 0.0, rec
+
+
+@pytest.mark.skipif(not (os.path.isdir(REF) and os.path.isdir(DATA)),
+                    reason="reference mount unavailable")
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
+def test_seed_trace_bitwise_parity_data1():
+    """Full seed-by-seed trace of data1: every processed seed's region
+    size, refined rectangle, logNFA, accept decision AND the usedMap
+    evolution are bitwise identical between the oracle and the
+    compiled reference engine (3850 records)."""
+    import sys
+    sys.path.insert(0, os.path.join(REPO, "scripts", "refbench"))
+    import parity_trace as pt
+    pt.build_trace_binary()
+    ref = pt.ref_trace(DATA)
+    ora = pt.oracle_trace(DATA)
+    assert pt.diff(ref, ora) == 0
