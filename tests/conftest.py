@@ -29,6 +29,21 @@ import pytest  # noqa: E402
 REFERENCE_DATA = "/root/reference"
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules.
+
+    Every XLA:CPU executable holds many small memory mappings; the full
+    suite's several hundred compiled programs push the process past the
+    kernel's vm.max_map_count (65530 here) and mmap failures then
+    SEGFAULT inside LLVM mid-compile (observed deterministically at
+    ~150 tests / ~64k mappings, 2026-08-21).  Clearing jit caches per
+    module keeps the mapping count bounded; cross-module recompiles
+    cost a few seconds total."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def data_root():
     if not os.path.isdir(REFERENCE_DATA):
