@@ -215,7 +215,8 @@ def main():
     F = frames["ranges"].shape[0]
 
     t0 = time.perf_counter()
-    outs = jax.block_until_ready(run_sequence(frames, ctx, cfg))
+    outs = run_sequence(frames, ctx, cfg)
+    np.asarray(outs["pose"])       # time-to-value (see timed_run note)
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
 
     import statistics
@@ -247,17 +248,21 @@ def main():
 
     def timed_run():
         t0 = time.perf_counter()
-        jax.block_until_ready(run_sequence(frames, ctx, cfg))
+        o = run_sequence(frames, ctx, cfg)
+        # TIME-TO-VALUE: materialize the poses on the host.  Through
+        # the axon relay block_until_ready RETURNS AT ENQUEUE, so a
+        # "timed" repeat without a transfer measures dispatch latency
+        # (~0.5 ms) instead of execution (~0.6 s) - every pre-round-3
+        # recorded number had exactly that flaw.  The (F, 3) pose
+        # transfer forces completion and costs ~RTT on top.
+        np.asarray(o["pose"])
         times.append(time.perf_counter() - t0)
         BEST["json"] = result_json()
         log(f"  repeat: {times[-1] * 1e3:.2f} ms")
+        return o
 
-    # ALL timed repeats complete before the device->host transfer below
-    # (the axon tunnel has wedged on exactly that transfer after a full
-    # bench - round 1); BEST is re-armed after every repeat, so a hang
-    # mid-protocol still reports the median of what completed.
     for _ in range(REPEATS):
-        timed_run()
+        outs = timed_run()
     med = statistics.median(times)
     scans_per_sec = F / med
 

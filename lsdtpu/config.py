@@ -62,9 +62,19 @@ class MatchConfig:
     # cap-penalty predicate is preserved exactly (match/associate.py).
     cache_dtype: str = "f32"
     # score only ceil(live_count/chunk) candidate chunks per frame
-    # (bounded fori_loop; bitwise-identical - skipped chunks are fully
-    # masked).  Disable to force the full static K-cap sweep.
+    # (bounded fori_loop; skipped chunks are fully masked).  Disable to
+    # force the full static K-cap sweep.
     score_dynamic_chunks: bool = True
+    # chunk sizes for the scorer's (candidate x pixel) gather sweep.
+    # The TPU gather is ELEMENT-bound (~134M gathered cells/s measured
+    # on the v5e), so right-sizing chunks to the live candidate/pixel
+    # counts is the first-order throughput lever: 64x512 turns a
+    # tracking frame (~40 live candidates, ~1-2k live pixels) into
+    # 1x2-4 chunks instead of a 256x2048 sweep.  Pixel chunking only
+    # engages under score_dynamic_chunks (live pixels are prefix-
+    # compacted); 0 disables it.
+    score_chunk: int = 64
+    score_pixel_chunk: int = 512
     # obstacle-tolerant scoring (beyond the reference; off by default =
     # exact reference formula): forgive up to this fraction of the
     # scan's pixels when they land at the mapCache distance cap -
@@ -170,6 +180,15 @@ class EngineConfig:
     # "faithful" reproduces reference bugs (odometry y-term
     # main_on_windows.cpp:151, dropped `orient`); "fixed" corrects them.
     faithful: bool = True
+    # hoist scan featurization out of the sequential rollout: frames
+    # are featurized as ONE batched (vmapped) op before the lax.scan,
+    # which then carries only the match+filter chain (identical outputs
+    # - featurization is frame-independent).  Helps CPU (~1.5x: the
+    # batch vectorizes across cores) but HURTS on the TPU (measured
+    # +356 ms on the 279-frame rollout: the batched while-loops run all
+    # lanes in lockstep to the max trip count), so the TPU-first
+    # default is off.
+    prefeaturize: bool = False
 
 
 DEFAULT = EngineConfig()

@@ -197,7 +197,8 @@ def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
                      z_occ_max_dis: float = 1.0,
                      max_dist_penalty: float = 10.0,
                      valid_ratio: float = 0.7,
-                     chunk: int = 256,
+                     chunk: int = 64,
+                     pixel_chunk: int = 512,
                      dynamic_chunks: bool = True,
                      obstacle_tolerance: float = 0.0,
                      obstacle_min_dist: float = None) -> jnp.ndarray:
@@ -234,7 +235,8 @@ def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
     sum_d, n_valid, sum_far, n_far = score_candidates_partial(
         cand, pixels, pixels_mask, map_cache, 0, rows, cols,
         z_occ_max_dis=z_occ_max_dis, max_dist_penalty=max_dist_penalty,
-        chunk=chunk, dynamic_chunks=dynamic_chunks,
+        chunk=chunk, pixel_chunk=pixel_chunk,
+        dynamic_chunks=dynamic_chunks,
         obstacle_min_dist=obstacle_min_dist)
     n_all = jnp.sum(pixels_mask).astype(dt)
     return finalize_scores(cand, sum_d, n_valid, n_all,
@@ -248,7 +250,8 @@ def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
                              cache_block, row0, rows, cols,
                              z_occ_max_dis: float = 1.0,
                              max_dist_penalty: float = 10.0,
-                             chunk: int = 256,
+                             chunk: int = 64,
+                             pixel_chunk: int = 512,
                              dynamic_chunks: bool = True,
                              obstacle_min_dist: float = None):
     """Map-block-sharded partial scoring: this device owns cache rows
@@ -283,16 +286,16 @@ def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
     K = cand.ca.shape[0]
     n_chunks = -(-K // chunk) if K > chunk else 1
 
-    def part_chunk(args):
+    def part_chunk(args, pxs, pys, pms):
         ca, sa, sx, sy, mx, my = args
-        tx = (px[None, :] - sx[:, None]) * ca[:, None] - \
-            (py[None, :] - sy[:, None]) * sa[:, None] + mx[:, None]
-        ty = (px[None, :] - sx[:, None]) * sa[:, None] + \
-            (py[None, :] - sy[:, None]) * ca[:, None] + my[:, None]
+        tx = (pxs[None, :] - sx[:, None]) * ca[:, None] - \
+            (pys[None, :] - sy[:, None]) * sa[:, None] + mx[:, None]
+        ty = (pxs[None, :] - sx[:, None]) * sa[:, None] + \
+            (pys[None, :] - sy[:, None]) * ca[:, None] + my[:, None]
         ix = geo.c_round(tx).astype(jnp.int32)
         iy = geo.c_round(ty).astype(jnp.int32)
         inside = (ix >= 0) & (ix < cols) & (iy >= 0) & (iy < rows) & \
-            (iy >= row0) & (iy < row0 + block_h) & pixels_mask[None, :]
+            (iy >= row0) & (iy < row0 + block_h) & pms[None, :]
         loc = jnp.clip(iy - row0, 0, block_h - 1) * pad_cols + \
             jnp.clip(ix, 0, pad_cols - 1)
         vals, at_cap = _dequant(
@@ -305,6 +308,40 @@ def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
         sum_far = jnp.sum(jnp.where(far, contrib, 0.0), axis=1)
         n_far = jnp.sum(far, axis=1).astype(dt)
         return sum_d, n_valid, sum_far, n_far
+
+    # dynamic PIXEL chunking: live pixels sit in a compacted prefix
+    # (scan/featurize.py masked_compact), so only ceil(n_live/pc)
+    # pixel chunks carry work - the TPU gather is element-bound
+    # (~134M gathered elements/s measured on the v5e), so skipping
+    # masked pixels/candidates is the first-order cost lever.  The
+    # skipped chunks' partials are exactly 0; chunked accumulation
+    # changes only the f32 reduction tree (<=ulp-level, same tier as
+    # the XLA reduce order itself).
+    P = px.shape[0]
+    use_pc = bool(pixel_chunk) and dynamic_chunks and P > pixel_chunk
+    if use_pc:
+        n_pc = -(-P // pixel_chunk)
+        ppad = n_pc * pixel_chunk - P
+        pxp = jnp.concatenate([px, jnp.zeros((ppad,), dt)]) if ppad else px
+        pyp = jnp.concatenate([py, jnp.zeros((ppad,), dt)]) if ppad else py
+        pmp = jnp.concatenate([pixels_mask,
+                               jnp.zeros((ppad,), bool)]) if ppad \
+            else pixels_mask
+        live_pc = (jnp.sum(pixels_mask).astype(jnp.int32)
+                   + pixel_chunk - 1) // pixel_chunk
+
+    def part_all(args):
+        if not use_pc:
+            return part_chunk(args, px, py, pixels_mask)
+
+        def pbody(j, acc):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(  # noqa: E731
+                a, j * pixel_chunk, pixel_chunk)
+            parts = part_chunk(args, sl(pxp), sl(pyp), sl(pmp))
+            return tuple(a + p for a, p in zip(acc, parts))
+
+        z = jnp.zeros((args[0].shape[0],), dt)
+        return jax.lax.fori_loop(0, live_pc, pbody, (z, z, z, z))
 
     args = (cand.ca, cand.sa, cand.sx, cand.sy, cand.mx, cand.my)
     if n_chunks > 1:
@@ -321,7 +358,7 @@ def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
             live_chunks = (n_live + chunk - 1) // chunk
 
             def body(i, bufs):
-                parts = part_chunk(jax.tree.map(lambda a: a[i], args))
+                parts = part_all(jax.tree.map(lambda a: a[i], args))
                 return tuple(
                     jax.lax.dynamic_update_slice_in_dim(b, p, i * chunk, 0)
                     for b, p in zip(bufs, parts))
@@ -330,9 +367,10 @@ def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
             parts = jax.lax.fori_loop(0, live_chunks, body,
                                       (zeros, zeros, zeros, zeros))
         else:
-            parts = jax.lax.map(part_chunk, args)
+            parts = jax.lax.map(
+                lambda a: part_chunk(a, px, py, pixels_mask), args)
         return tuple(p.reshape(-1)[:K] for p in parts)
-    return part_chunk(args)
+    return part_all(args)
 
 
 def finalize_scores(cand: Candidates, sum_d, n_valid, n_all,

@@ -167,6 +167,8 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
             ctx.rows, ctx.cols,
             z_occ_max_dis=cfg.map.z_occ_max_dis,
             max_dist_penalty=cfg.match.max_dist_penalty,
+            chunk=cfg.match.score_chunk,
+            pixel_chunk=cfg.match.score_pixel_chunk,
             dynamic_chunks=cfg.match.score_dynamic_chunks,
             obstacle_min_dist=cfg.match.obstacle_min_dist)
         sum_d, n_valid, sum_far, n_far = (
@@ -205,6 +207,8 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
             z_occ_max_dis=cfg.map.z_occ_max_dis,
             max_dist_penalty=cfg.match.max_dist_penalty,
             valid_ratio=cfg.match.valid_ratio,
+            chunk=cfg.match.score_chunk,
+            pixel_chunk=cfg.match.score_pixel_chunk,
             dynamic_chunks=cfg.match.score_dynamic_chunks,
             obstacle_tolerance=cfg.match.obstacle_tolerance,
             obstacle_min_dist=cfg.match.obstacle_min_dist)
@@ -326,10 +330,15 @@ def run_sequence(frames, ctx: MapContext, cfg: EngineConfig = DEFAULT):
       ranges (F, N), angles (F, N), valid (F, N), n (F,),
       odom_prev (F, 3), odom_cur (F, 3).
     Returns stacked per-frame outputs (poses (F, 3), scores (F,), ...).
+
+    With cfg.prefeaturize (default) all frames are featurized as one
+    batched op up front and the scan carries only the sequential
+    match+filter chain - identical outputs, far less work on the
+    sequential critical path.
     """
     state = init_state(frames["ranges"].dtype)
 
-    def step(carry, fr):
+    def reset_carry(carry, fr):
         if "reset" in fr:
             # corpus replay (stack_concat): a True flag marks the first
             # frame of a concatenated sequence - the carry is replaced
@@ -338,6 +347,26 @@ def run_sequence(frames, ctx: MapContext, cfg: EngineConfig = DEFAULT):
             init = init_state(fr["ranges"].dtype)
             carry = jax.tree.map(
                 lambda a, b: jnp.where(fr["reset"], a, b), init, carry)
+        return carry
+
+    if cfg.prefeaturize:
+        fs_all = jax.vmap(
+            lambda fr: featurize_stage(
+                (fr["ranges"], fr["angles"], fr["valid"], fr["n"],
+                 fr["odom_prev"], fr["odom_cur"]), ctx, cfg))(frames)
+
+        def step(carry, xs):
+            fr, fs = xs
+            carry = reset_carry(carry, fr)
+            inputs = (fr["ranges"], fr["angles"], fr["valid"], fr["n"],
+                      fr["odom_prev"], fr["odom_cur"])
+            return match_stage(carry, fs, inputs, ctx, cfg)
+
+        _final, outs = jax.lax.scan(step, state, (frames, fs_all))
+        return outs
+
+    def step(carry, fr):
+        carry = reset_carry(carry, fr)
         inputs = (fr["ranges"], fr["angles"], fr["valid"], fr["n"],
                   fr["odom_prev"], fr["odom_cur"])
         return localization_step(carry, inputs, ctx, cfg)

@@ -81,7 +81,9 @@ def test_candidates_and_scores_match_oracle(dataset_small, map_art, fi,
 def test_dynamic_chunks_bitwise_equals_static(dataset_small, map_art, fi,
                                               last_pose):
     """The live-count fori_loop scorer must equal the full static sweep
-    bitwise (skipped chunks are entirely masked)."""
+    bitwise when only CANDIDATE chunks are dynamic (skipped chunks are
+    entirely masked); dynamic PIXEL chunking (round-3 TPU gather fix)
+    changes only the f64 reduction tree - verified <= 1e-9."""
     from lsdtpu.match.associate import score_candidates_partial
 
     ds = dataset_small
@@ -99,11 +101,20 @@ def test_dynamic_chunks_bitwise_equals_static(dataset_small, map_art, fi,
     cache = jnp.asarray(map_art.map_cache)
     s_dyn = np.asarray(score_candidates(cand, jnp.asarray(pix),
                                         jnp.asarray(pmask), cache,
-                                        dynamic_chunks=True))
+                                        dynamic_chunks=True,
+                                        pixel_chunk=0))
     s_sta = np.asarray(score_candidates(cand, jnp.asarray(pix),
                                         jnp.asarray(pmask), cache,
                                         dynamic_chunks=False))
     np.testing.assert_array_equal(s_dyn, s_sta)
+    # pixel-chunked variant: same scores up to the reduction tree
+    s_pc = np.asarray(score_candidates(cand, jnp.asarray(pix),
+                                       jnp.asarray(pmask), cache,
+                                       dynamic_chunks=True,
+                                       pixel_chunk=512))
+    ok = np.isfinite(s_sta)
+    assert (np.isfinite(s_pc) == ok).all()
+    np.testing.assert_allclose(s_pc[ok], s_sta[ok], rtol=0, atol=1e-9)
 
     # partials: identical on the live prefix (masked tail rows differ -
     # static computes garbage there, dynamic leaves zeros - but
@@ -116,7 +127,7 @@ def test_dynamic_chunks_bitwise_equals_static(dataset_small, map_art, fi,
         sd, nv, sf, nf = score_candidates_partial(
             cand, jnp.asarray(pix), jnp.asarray(pmask), cache,
             row0=0, rows=H, cols=map_art.map_cache.shape[1],
-            dynamic_chunks=dyn)
+            dynamic_chunks=dyn, pixel_chunk=0)
         res[dyn] = (np.asarray(sd), np.asarray(nv), np.asarray(sf),
                     np.asarray(nf),
                     np.asarray(finalize_scores(cand, sd, nv, n_all)))
