@@ -32,11 +32,11 @@ import time
 import numpy as np
 
 DATA = "/root/reference/data_20190513/data_f3key/data1"
-# >= 3 timed repeats complete BEFORE any device->host transfer (the
-# axon tunnel has wedged on exactly that transfer); the headline value
-# is the MEDIAN repeat - one sample taken right before a hang is not a
-# measurement (VERDICT r2 weak #1).  Repeats are cheap (~1 ms each vs
-# ~30 s compile), so take a few extra for a stable median.
+# The headline value is the MEDIAN of >= 3 timed repeats - one sample
+# taken right before a hang is not a measurement (VERDICT r2 weak #1).
+# Each repeat is TIME-TO-VALUE: it materializes the poses on the host,
+# because block_until_ready returns at enqueue through the relay
+# (round-3 correction; see timed_run).
 REPEATS = 5
 FALLBACK_BASELINE = 105.2  # oracle scans/s measured on this host 2026-08-17
 
@@ -242,7 +242,12 @@ def main():
             "baseline_kind": baseline_kind,
             # machine-readable record of WHICH backend produced the
             # number (the probe may have rerouted a wedged TPU to CPU)
-            "backend": jax.default_backend()}
+            "backend": jax.default_backend(),
+            # round-3 correction: block_until_ready returns at enqueue
+            # through the device relay, so pre-r3 recorded numbers
+            # (518k/364k) measured dispatch latency - this protocol
+            # times to host-materialized value (docs/RESULTS.md r3)
+            "method": "time-to-value"}
         rec.update(extra or {})
         return json.dumps(rec)
 

@@ -407,6 +407,10 @@ def cmd_batch(args) -> int:
     from lsdtpu.runtime.batch import run_batch, stack_batch, stack_concat
 
     cfg = build_cfg(args)
+    if args.temporal > 1 and not args.concat:
+        print("--temporal requires --concat (the segment-parallel "
+              "replay runs over one concatenated stream)", file=sys.stderr)
+        return 2
     dss = [load_dataset(p) for p in args.data]
     arts = [prepare_map_cached(d.map_value, d.param.resol,
                                z_occ_max_dis=cfg.map.z_occ_max_dis,

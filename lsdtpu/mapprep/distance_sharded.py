@@ -42,10 +42,8 @@ from lsdtpu.runtime.shard import DP_AXIS
 
 def make_mesh_prep(n_devices: Optional[int] = None) -> Mesh:
     """1-D mesh over the map's row-block axis."""
-    devs = jax.devices()
-    if n_devices is not None:
-        devs = devs[:n_devices]
-    return Mesh(np.array(devs), (DP_AXIS,))
+    from lsdtpu.runtime.shard import make_mesh_1d
+    return make_mesh_1d(n_devices)
 
 
 _RUNNERS: dict = {}

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -82,7 +83,7 @@ def _grow(seed_y, seed_x, seed_deg, deg_thre, ban, deg_map):
 
 
 def _grow_fifo(seed_y, seed_x, seed_deg, deg_thre, ban, deg_map,
-               cap: int = None):
+               cap: Optional[int] = None):
     """Exact-order FIFO region growth (reference: RegionGrower,
     myLSD.cpp:491-590): a queue of accepted points; each popped point
     scans its 3x3 neighborhood in row-major order; the running circular
@@ -97,7 +98,9 @@ def _grow_fifo(seed_y, seed_x, seed_deg, deg_thre, ban, deg_map,
     membership test), so grow <= H*W always - truncation is impossible
     by construction, honoring the "caps are never silent" contract.
     An explicit smaller cap raises at trace time rather than silently
-    stopping acceptance.  Returns (cur mask, reg_deg)."""
+    stopping acceptance.  Returns (cur mask, reg_deg, queue_y, queue_x,
+    n) - the acceptance-ordered point queue feeds the exact-order
+    radius reducer (rect.radius_reducer_fifo)."""
     H, W = deg_map.shape
     if cap is None:
         cap = H * W

@@ -268,6 +268,12 @@ def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
     them in the opt-in obstacle-tolerant mode; they ride the same
     fused pass for free (two extra masked reductions on values already
     gathered)."""
+    if chunk < 1:
+        raise ValueError(f"match.score_chunk={chunk} must be >= 1")
+    if pixel_chunk < 0:
+        raise ValueError(
+            f"match.score_pixel_chunk={pixel_chunk} must be >= 0 "
+            "(0 disables pixel chunking)")
     block_h, pad_cols = cache_block.shape
     dt = cand.ca.dtype
     px = pixels[:, 0].astype(dt)

@@ -92,6 +92,20 @@ def init_state(dtype=jnp.float32) -> TrackState:
         lost_streak=jnp.zeros((), jnp.int32))
 
 
+def reset_carry(carry: TrackState, fr: dict) -> TrackState:
+    """Corpus-replay re-initialization (batch.stack_concat): a True
+    "reset" flag marks the first frame of a concatenated sequence - the
+    carry is replaced by the initial state, so every sequence's rollout
+    is bitwise the rollout it would get standalone.  Shared by the
+    sequential, sharded, and temporal runners (a semantics change here
+    changes all three together)."""
+    if "reset" in fr:
+        init = init_state(fr["ranges"].dtype)
+        carry = jax.tree.map(
+            lambda a, b: jnp.where(fr["reset"], a, b), init, carry)
+    return carry
+
+
 def featurize_stage(frame_inputs, ctx: MapContext,
                     cfg: EngineConfig = DEFAULT):
     """Pipeline stage A: scan featurization only (L3 of the reference).
@@ -331,23 +345,12 @@ def run_sequence(frames, ctx: MapContext, cfg: EngineConfig = DEFAULT):
       odom_prev (F, 3), odom_cur (F, 3).
     Returns stacked per-frame outputs (poses (F, 3), scores (F,), ...).
 
-    With cfg.prefeaturize (default) all frames are featurized as one
-    batched op up front and the scan carries only the sequential
-    match+filter chain - identical outputs, far less work on the
-    sequential critical path.
+    With cfg.prefeaturize (opt-in; helps CPU ~1.5x, measured slower
+    on TPU - see config.py) all frames are featurized as one batched
+    op up front and the scan carries only the sequential match+filter
+    chain; outputs are identical either way.
     """
     state = init_state(frames["ranges"].dtype)
-
-    def reset_carry(carry, fr):
-        if "reset" in fr:
-            # corpus replay (stack_concat): a True flag marks the first
-            # frame of a concatenated sequence - the carry is replaced
-            # by the initial state, so every sequence's rollout is
-            # bitwise the rollout it would get standalone
-            init = init_state(fr["ranges"].dtype)
-            carry = jax.tree.map(
-                lambda a, b: jnp.where(fr["reset"], a, b), init, carry)
-        return carry
 
     if cfg.prefeaturize:
         fs_all = jax.vmap(

@@ -30,10 +30,8 @@ def make_pool_mesh(n_devices: Optional[int] = None) -> Mesh:
     """1-D (dp,) mesh for spreading a session pool's slot axis across
     chips - every tick's batched step then runs SPMD with zero
     collectives (slots are independent robots)."""
-    devs = jax.devices()
-    if n_devices is not None:
-        devs = devs[:n_devices]
-    return Mesh(np.array(devs), (DP_AXIS,))
+    from lsdtpu.runtime.shard import make_mesh_1d
+    return make_mesh_1d(n_devices)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

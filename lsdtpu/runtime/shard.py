@@ -33,10 +33,21 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from lsdtpu.config import EngineConfig, DEFAULT
-from lsdtpu.runtime.loop import (MapContext, init_state, localization_step)
+from lsdtpu.runtime.loop import (MapContext, init_state,
+                                 localization_step, reset_carry)
 
 TP_AXIS = "tp"
 DP_AXIS = "dp"
+
+
+def make_mesh_1d(n_devices: Optional[int] = None) -> Mesh:
+    """1-D (dp,) mesh over the first n_devices devices - the shared
+    constructor behind the serving-pool, temporal-segment, and
+    map-prep-block meshes."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (DP_AXIS,))
 
 
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None
@@ -140,15 +151,7 @@ def _runner(mesh: Mesh, cfg: EngineConfig, kind: str,
             state = init_state(fr1["ranges"].dtype)
 
             def step(carry, f):
-                if "reset" in f:
-                    # corpus replay: a True flag re-initializes the
-                    # carry so each concatenated sequence's rollout is
-                    # bitwise its standalone rollout (loop.run_sequence
-                    # semantics, threaded through the sharded step)
-                    init = init_state(f["ranges"].dtype)
-                    carry = jax.tree.map(
-                        lambda a, b: jnp.where(f["reset"], a, b),
-                        init, carry)
+                carry = reset_carry(carry, f)
                 inputs = (f["ranges"], f["angles"], f["valid"], f["n"],
                           f["odom_prev"], f["odom_cur"])
                 return localization_step(carry, inputs, cx1, cfg,

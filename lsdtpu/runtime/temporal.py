@@ -44,16 +44,15 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from lsdtpu.config import EngineConfig, DEFAULT
-from lsdtpu.runtime.loop import MapContext, init_state, localization_step
+from lsdtpu.runtime.loop import (MapContext, init_state,
+                                 localization_step, reset_carry)
 from lsdtpu.runtime.shard import DP_AXIS
 
 
 def make_mesh_sp(n_devices: Optional[int] = None) -> Mesh:
     """1-D (dp,) mesh: the segment axis of a split trajectory."""
-    devs = jax.devices()
-    if n_devices is not None:
-        devs = devs[:n_devices]
-    return Mesh(np.array(devs), (DP_AXIS,))
+    from lsdtpu.runtime.shard import make_mesh_1d
+    return make_mesh_1d(n_devices)
 
 
 def split_frames_temporal(frames, n_segments: int, warmup: int
@@ -84,9 +83,11 @@ def split_frames_temporal(frames, n_segments: int, warmup: int
 
     padded = {k: pad(v) for k, v in frames.items()}
     if F < Fp:
-        # dead tail: repeat the final odometry so deltas are zero
+        # dead tail: pin BOTH odometry inputs to the final cumulative
+        # odometry so every dead frame's delta is exactly zero (their
+        # outputs land outside all keep windows regardless)
         for k in ("odom_prev", "odom_cur"):
-            padded[k][F:] = padded[k][F - 1]
+            padded[k][F:] = padded["odom_cur"][F - 1]
 
     stack = {}
     starts = [0] + [s * L - warmup for s in range(1, S)]
@@ -112,11 +113,7 @@ def _sp_runner(mesh: Mesh, cfg: EngineConfig, has_reset: bool):
             state = init_state(fr1["ranges"].dtype)
 
             def step(carry, f):
-                if "reset" in f:
-                    init = init_state(f["ranges"].dtype)
-                    carry = jax.tree.map(
-                        lambda a, b: jnp.where(f["reset"], a, b),
-                        init, carry)
+                carry = reset_carry(carry, f)
                 inputs = (f["ranges"], f["angles"], f["valid"], f["n"],
                           f["odom_prev"], f["odom_cur"])
                 return localization_step(carry, inputs, ctx, cfg)
