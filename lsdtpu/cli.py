@@ -381,14 +381,17 @@ def cmd_profile(args) -> int:
                       "frame": f,
                       "note": "separately-jitted stages incl. dispatch "
                               "overhead; relative costs only"}))
+    import numpy as _np
     with device_trace(args.trace):
+        # TIME-TO-VALUE: block_until_ready returns at enqueue through
+        # the device relay (docs/RESULTS.md r3) - materialize poses
         t0 = time.perf_counter()
-        jax.block_until_ready(run_sequence(frames, ctx, cfg))
+        _np.asarray(run_sequence(frames, ctx, cfg)["pose"])
         t_first = time.perf_counter() - t0
         best = float("inf")
         for _ in range(args.repeats):
             t0 = time.perf_counter()
-            jax.block_until_ready(run_sequence(frames, ctx, cfg))
+            _np.asarray(run_sequence(frames, ctx, cfg)["pose"])
             best = min(best, time.perf_counter() - t0)
     rec = {"frames": F, "compile_plus_first_s": round(t_first, 2),
            "steady_ms": round(best * 1e3, 3),

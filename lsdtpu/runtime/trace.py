@@ -29,17 +29,22 @@ def stage_timings(frame_inputs, ctx: MapContext,
                   cfg: EngineConfig = DEFAULT, repeats: int = 10) -> dict:
     """Per-stage wall times (ms) for one frame: featurize, candidate
     generation, scoring, fusion, UKF.  Each stage is jitted separately
-    and timed with block_until_ready, so numbers include per-dispatch
-    overhead but expose the relative stage costs."""
+    and timed TO VALUE (a leaf is materialized on the host every
+    repeat): through the device relay block_until_ready returns at
+    enqueue, so ready-based timing measures dispatch latency only
+    (docs/RESULTS.md round-3 correction).  Numbers include per-dispatch
+    + transfer overhead but expose the relative stage costs."""
     ranges, angles, valid, n, odom_prev, odom_cur = frame_inputs
     sh = cfg.shapes
     out = {}
 
     def timed(name, f, *args):
-        r = jax.block_until_ready(f(*args))     # compile + warm
+        r = f(*args)
+        np.asarray(jax.tree.leaves(r)[0])       # compile + warm, to value
         t0 = time.perf_counter()
         for _ in range(repeats):
-            r = jax.block_until_ready(f(*args))
+            r = f(*args)
+            np.asarray(jax.tree.leaves(r)[0])   # time-to-value
         out[name] = (time.perf_counter() - t0) / repeats * 1e3
         return r
 
@@ -75,7 +80,12 @@ def stage_timings(frame_inputs, ctx: MapContext,
 
 @contextlib.contextmanager
 def device_trace(log_dir: Optional[str]):
-    """jax.profiler trace scope (no-op when log_dir is None)."""
+    """jax.profiler trace scope (no-op when log_dir is None).
+
+    CAUTION: on the axon relay jax.profiler tracing HANGS the client
+    (observed round 3); use on real local devices / CPU only.  For
+    on-relay attribution use time-to-value ablation
+    (scripts/profile_attrib.py docstring, docs/RESULTS.md)."""
     if log_dir is None:
         yield
         return

@@ -1,13 +1,12 @@
-"""Device-side cost attribution for the headline rollout.
+"""Device-side cost attribution for the headline rollout (xplane).
 
-Per-dispatch host timing through the axon tunnel is RTT-dominated
-(~7 ms/dispatch - CLAUDE.md), so per-stage `block_until_ready` numbers
-cannot attribute the per-frame cost on TPU.  This tool runs the
-bench-pinned whole-sequence rollout ONCE under `jax.profiler.trace`
-(a single dispatch; device-side timestamps are unaffected by the
-tunnel) and aggregates the xplane op events into a per-op cost table -
-the real answer to "which stage eats the frame budget"
-(VERDICT r2 weak #2).
+Runs the bench-pinned whole-sequence rollout once under
+`jax.profiler.trace` and aggregates the xplane op events into a
+per-op cost table.  CAUTION: on the axon RELAY the profiler HANGS the
+client (observed round 3) - there, the method of record is
+time-to-value ablation (whole-rollout variants with stages removed;
+results in docs/RESULTS.md r3).  This tool works on local CPU (use
+--cpu; relative op structure) and on directly attached devices.
 
 Usage:
   python scripts/profile_attrib.py [--data DIR] [--out JSON] [--top N]
