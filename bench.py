@@ -198,8 +198,10 @@ def main():
     # Armed after the probe phase (probes run in subprocesses with their
     # own timeouts and cannot hang this process) so probe retries don't
     # eat the measurement budget.
+    # default raised for the round-3 protocol: 3 C++ baseline runs
+    # (~180 s) + ~80 s compile + 5 time-to-value repeats fit with room
     watchdog = _arm_watchdog(float(os.environ.get(
-        "LSDTPU_BENCH_TIMEOUT", "420")))
+        "LSDTPU_BENCH_TIMEOUT", "600")))
 
     from lsdtpu.eval import ate as eval_ate
     from lsdtpu.io import load_dataset
