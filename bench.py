@@ -71,7 +71,9 @@ def measure_baseline(ds, art, n_frames: int = 60) -> float:
 
 def measure_reference_baseline(n_runs: int = 3):
     """Build (cached) and time the actual C++ reference engine on DATA.
-    Returns (scans_per_sec, kind) or None if unavailable.
+    Returns (scans_per_sec, n_reset_frames, note) for the chosen run,
+    or None if unavailable.  `note` quantifies the broken-run bias
+    (see below).
 
     The reference is nondeterministic: its threadpool race can drop
     scoring tasks, which both LOSES TRACKING and makes the run FASTER
@@ -91,7 +93,7 @@ def measure_reference_baseline(n_runs: int = 3):
                 ["sh", os.path.join(repo, "scripts", "refbench",
                                     "build.sh")],
                 check=True, capture_output=True, timeout=300)
-        runs = []   # (scans_per_sec, n_reset)
+        runs = []   # (scans_per_sec, n_reset, n_frames)
         with tempfile.TemporaryDirectory() as td:
             for i in range(n_runs):
                 dump = os.path.join(td, f"poses{i}.txt")
@@ -103,20 +105,56 @@ def measure_reference_baseline(n_runs: int = 3):
                     continue
                 poses = np.loadtxt(dump, ndmin=2)
                 runs.append((float(m.group(1)),
-                             int((poses[:, 0] == -1.0).sum())))
+                             int((poses[:, 0] == -1.0).sum()),
+                             poses.shape[0]))
         if not runs:
             return None
         clean = [r for r in runs if r[1] == 0]
         if clean:
-            return max(clean)
-        best = max(runs)
+            sps, resets, _ = max(clean)
+            return sps, resets, "fastest tracking-clean run (no bias)"
+        sps, resets, _ = max(runs)
+        note = _healthy_run_note(runs)
         log(f"reference lost tracking in ALL {n_runs} runs "
             f"(resets: {[r[1] for r in runs]}) - baseline uses the "
-            "fastest broken run")
-        return best
+            f"fastest broken run; {note}")
+        return sps, resets, note
     except Exception as e:  # pragma: no cover - keep bench robust
         log("reference baseline unavailable:", e)
         return None
+
+
+def _healthy_run_note(runs) -> str:
+    """Estimate what a tracking-healthy reference run would cost.
+
+    The reference's threadpool races drop scoring tasks, which loses
+    tracking; a reset event changes the per-frame cost in BOTH
+    directions (the lost frame skips most FA work - cheaper - while
+    the following relock frame sweeps the full candidate set with the
+    HMM gate open - dearer).  With per-run (total time, reset count)
+    samples, a least-squares fit of
+        time_i = (F - r_i) * t_track + r_i * t_event
+    separates the per-tracking-frame cost from the per-reset-event
+    cost; F / (F * t_track) is then the hypothetical healthy-run
+    throughput.  With degenerate samples (all reset counts equal) the
+    system is singular and only the observed band is reported.
+    Reference for the races: LSD/myFA.cpp:45-62."""
+    times = np.array([n / s for s, r, n in runs])       # total seconds
+    resets = np.array([float(r) for _s, r, _n in runs])
+    frames = np.array([float(n) for _s, _r, n in runs])
+    band = f"broken-run band {min(s for s, _r, _n in runs):.0f}-" \
+        f"{max(s for s, _r, _n in runs):.0f} scans/s"
+    if len(runs) < 2 or np.ptp(resets) == 0:
+        return f"healthy-run cost not separable ({band})"
+    A = np.stack([frames - resets, resets], axis=1)
+    (t_track, t_event), *_ = np.linalg.lstsq(A, times, rcond=None)
+    if t_track <= 0:
+        return f"healthy-run fit degenerate ({band})"
+    healthy = 1.0 / t_track
+    return (f"hypothetical tracking-healthy reference ~{healthy:.0f} "
+            f"scans/s (lstsq over {len(runs)} runs: "
+            f"{t_track * 1e3:.2f} ms/tracking-frame, "
+            f"{t_event * 1e3:+.2f} ms/reset-event; {band})")
 
 
 BEST = {"json": None}
@@ -216,13 +254,15 @@ def main():
 
     ref = measure_reference_baseline()
     if ref is not None:
-        (baseline, baseline_resets), baseline_kind = ref, "cpp-reference"
+        baseline, baseline_resets, baseline_note = ref
+        baseline_kind = "cpp-reference"
         log(f"baseline: {baseline:.1f} scans/s (REAL C++ reference, "
             f"best of 3 runs, {os.cpu_count()} cores, "
             f"{baseline_resets} reset frames in that run)")
     else:
         baseline, baseline_kind = measure_baseline(ds, art), "oracle"
         baseline_resets = 0
+        baseline_note = "race-free numpy oracle (no broken-run bias)"
         log(f"baseline: {baseline:.1f} scans/s (numpy oracle fallback)")
 
     # pin the compiled shape that has proven stable on the axon tunnel
@@ -270,6 +310,10 @@ def main():
             # frames did LESS WORK and ran faster - this counts the
             # frames its chosen run failed to track (we track all 279)
             "baseline_reset_frames": baseline_resets,
+            # bias quantification: what a tracking-HEALTHY reference
+            # run would cost (lstsq fit over the timed runs), so the
+            # vs_baseline ratio carries its own error bars
+            "baseline_note": baseline_note,
             # machine-readable record of WHICH backend produced the
             # number (the probe may have rerouted a wedged TPU to CPU)
             "backend": jax.default_backend(),

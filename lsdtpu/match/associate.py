@@ -206,6 +206,12 @@ def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
     (reference: CalcScore, myFA.cpp:357-396).
 
     pixels: (P, 2) int32 scan-local pixel coords, pixels_mask: (P,).
+    PRECONDITION (with ``dynamic_chunks``, the default): pixels_mask
+    must be a PREFIX mask - all live pixels compacted to the front, as
+    scan/featurize.masked_compact produces.  Dynamic pixel chunking
+    only executes ceil(n_live/pixel_chunk) leading chunks; live pixels
+    past that prefix would be silently skipped.  Pass
+    ``dynamic_chunks=False`` to score an arbitrary (non-prefix) mask.
     rows/cols: true map extent (traced); defaults to map_cache.shape -
     pass explicitly when the cache is padded to a common batch canvas.
     Returns (K,) scores (inf where gated/invalid).
@@ -260,6 +266,9 @@ def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
     reductions over the pixel axis, so a psum over the map axis
     reproduces score_candidates exactly (the TPU-native form of
     sharding the mapCache prior across hosts, SURVEY.md 5.7c/5.8).
+
+    PRECONDITION (with ``dynamic_chunks``, the default): pixels_mask
+    must be a prefix mask (see score_candidates).
 
     sum_far/n_far aggregate the in-map pixels whose field distance is
     >= obstacle_min_dist (default: the cap, i.e. exactly the

@@ -22,7 +22,7 @@ SURVEY.md section 2.1:
 
 Deliberate deviations from the reference (documented, UB in C++):
   * RegionRadiusReducer's removal loop reads one element past the live
-    region (`i <= num`, myLSD.cpp:761); the phantom slot is (0,0) on
+    region (`i <= num`, myLSD.cpp:779); the phantom slot is (0,0) on
     this platform (fresh sbrk heap / NULLed swap slot) and its "drop"
     kills the real last point - REPLICATED deterministically (see
     region_radius_reducer);
@@ -387,7 +387,7 @@ def region_radius_reducer(reg: Region, rec: Rect, den_thre: float,
     xs, ys = list(reg.xs.tolist()), list(reg.ys.tolist())
     while den < den_thre:
         rad *= 0.75
-        # swap-with-last removal IN ORDER (myLSD.cpp:761-773): the point
+        # swap-with-last removal IN ORDER (myLSD.cpp:780-787): the point
         # order fed to RectangleConverter is this exact permutation (its
         # weighted sums accumulate sequentially, so order matters).
         i = 0
@@ -401,10 +401,10 @@ def region_radius_reducer(reg: Region, rec: Rect, den_thre: float,
                 ys.pop()
             else:
                 i += 1
-        # the reference's loop runs `i <= num` (myLSD.cpp:761): the final
+        # the reference's loop runs `i <= num` (myLSD.cpp:779): the final
         # iteration reads ONE SLOT PAST the live array.  That slot holds
         # (0, 0) both on fresh heap (sbrk-zeroed) and after any in-pass
-        # swap removal (the vacated slot is NULLed, myLSD.cpp:768-769) -
+        # swap removal (the vacated slot is NULLed, myLSD.cpp:784-785) -
         # verified against the compiled binary (parity_trace.py seed
         # 352).  (0,0) is essentially always farther than rad, so the
         # phantom "drop" kills the REAL last point: it vanishes from the
