@@ -75,6 +75,29 @@ class MatchConfig:
     # compacted); 0 disables it.
     score_chunk: int = 64
     score_pixel_chunk: int = 512
+    # exact candidate pruning (round 4; new execution strategy, bitwise-
+    # identical outputs): before the exact (candidate x pixel) gather
+    # sweep, every live candidate gets a PROVABLE lower bound on its
+    # CalcScore from a min-pooled+eroded coarse distance field gathered
+    # at transformed pixel-group centroids (match/associate.py
+    # score_candidates_pruned; soundness argument in the docstring).
+    # Candidates whose bound already fails score_accept can never be
+    # accepted (myFA.cpp:261 stores only score<3) so they skip the
+    # element-bound exact gather entirely; survivors are index-compacted
+    # and the exact loop's trip count follows the survivor count.
+    # Applies to the replicated and tp paths (the mp map-block path has
+    # no full-field view and scores unpruned).
+    prune: bool = True
+    prune_block: int = 16     # coarse-field block size, px (covers group radius)
+    prune_group: int = 16     # pixels per bound group (contiguous, compacted)
+    # run the bound phase only when the live candidate count reaches
+    # this (lax.cond): tracking frames (~40 gated candidates, most
+    # genuinely accepted - measured on data1) would pay the bound
+    # without pruning anything, while relock/global-search sweeps
+    # (~800-1000 candidates, ~80% provably rejectable) are where the
+    # bound removes most of the element-bound gather.  Either branch
+    # yields identical rollout outputs; 0 = always prune.
+    prune_min_live: int = 192
     # obstacle-tolerant scoring (beyond the reference; off by default =
     # exact reference formula): forgive up to this fraction of the
     # scan's pixels when they land at the mapCache distance cap -

@@ -46,18 +46,23 @@ def _cholesky_unrolled(P):
     jnp.linalg.cholesky lowers to a blocked while-loop routine that is
     both slow under vmap on TPU and run in bf16 matmul precision; the
     filter's 9x9 factor wants exact f32/f64 arithmetic (the reference
-    uses Eigen llt, myFA.cpp:456-460)."""
+    uses Eigen llt, myFA.cpp:456-460).
+
+    Right-looking (outer-product) form: each of the n unrolled steps is
+    pure elementwise math + a rank-1 update on the full (n, n) tile -
+    no dynamic-update-slices, so XLA fuses the whole factorization into
+    a handful of VPU kernels (the previous at[].set form compiled to
+    ~n*3 unfusable small updates and was a measurable slice of the
+    per-frame driver glue on TPU)."""
     n = P.shape[0]
+    rows = jnp.arange(n)
+    A = P
     Lm = jnp.zeros_like(P)
     for j in range(n):
-        s = P[j, j] - (jnp.sum(Lm[j, :j] ** 2) if j else 0.0)
-        d = jnp.sqrt(s)
-        Lm = Lm.at[j, j].set(d)
-        if j + 1 < n:
-            r = P[j + 1:, j]
-            if j:
-                r = r - Lm[j + 1:, :j] @ Lm[j, :j]
-            Lm = Lm.at[j + 1:, j].set(r / d)
+        d = jnp.sqrt(A[j, j])
+        col = jnp.where(rows >= j, A[:, j] / d, 0.0)
+        Lm = jnp.where(rows[None, :] == j, col[:, None], Lm)
+        A = A - col[:, None] * col[None, :]
     return Lm
 
 
@@ -105,9 +110,10 @@ def ukf_step(kalman_x, kalman_P, scan_pose, measurement,
         x = kalman_x.at[:3].add(scan_pose)
         lam = alpha * alpha * (L + kappa) - L
         c = L + lam
-        Wm = jnp.full((2 * L + 1,), 0.5 / c, dt)
-        Wm = Wm.at[0].set(lam / c)
-        Wc = Wm.at[0].add(1 - alpha * alpha + beta)
+        w0 = jnp.arange(2 * L + 1) == 0
+        Wm = jnp.where(w0, lam / c, 0.5 / c).astype(dt)
+        Wc = jnp.where(w0, lam / c + (1 - alpha * alpha + beta),
+                       0.5 / c).astype(dt)
         sc = math.sqrt(c) if isinstance(c, float) else jnp.sqrt(c)
 
         A = sc * _cholesky_unrolled(kalman_P).T

@@ -30,6 +30,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lsdtpu import geometry as geo
 
@@ -201,9 +202,22 @@ def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
                      pixel_chunk: int = 512,
                      dynamic_chunks: bool = True,
                      obstacle_tolerance: float = 0.0,
-                     obstacle_min_dist: float = None) -> jnp.ndarray:
+                     obstacle_min_dist: float = None,
+                     coarse=None,
+                     prune_accept: float = None,
+                     prune_block: int = 16,
+                     prune_group: int = 16,
+                     prune_min_live: int = 0) -> jnp.ndarray:
     """Score every candidate against the mapCache prior
     (reference: CalcScore, myFA.cpp:357-396).
+
+    With `coarse` (from coarse_field) and `prune_accept` both given
+    (and dynamic_chunks on), dispatches to score_candidates_pruned -
+    identical outputs, bound-pruned execution.  prune_min_live > 0
+    gates that dispatch behind a lax.cond on the live candidate count:
+    small tracking-frame sweeps take the plain path (the bound would
+    cost more than it saves there), big relock sweeps take the pruned
+    path - rollout outputs are identical either way.
 
     pixels: (P, 2) int32 scan-local pixel coords, pixels_mask: (P,).
     PRECONDITION (with ``dynamic_chunks``, the default): pixels_mask
@@ -232,6 +246,32 @@ def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
     (the extra block-row bound iy < pad_rows is implied by iy < rows),
     so the replicated and mp-sharded paths share one scoring kernel.
     """
+    if coarse is not None and prune_accept is not None and dynamic_chunks:
+        def pruned():
+            return score_candidates_pruned(
+                cand, pixels, pixels_mask, map_cache, coarse,
+                rows=rows, cols=cols, z_occ_max_dis=z_occ_max_dis,
+                max_dist_penalty=max_dist_penalty, valid_ratio=valid_ratio,
+                chunk=chunk, pixel_chunk=pixel_chunk,
+                obstacle_tolerance=obstacle_tolerance,
+                obstacle_min_dist=obstacle_min_dist,
+                prune_accept=prune_accept, prune_block=prune_block,
+                prune_group=prune_group)
+
+        if not prune_min_live:
+            return pruned()
+
+        def plain():
+            return score_candidates(
+                cand, pixels, pixels_mask, map_cache, rows=rows,
+                cols=cols, z_occ_max_dis=z_occ_max_dis,
+                max_dist_penalty=max_dist_penalty,
+                valid_ratio=valid_ratio, chunk=chunk,
+                pixel_chunk=pixel_chunk, dynamic_chunks=dynamic_chunks,
+                obstacle_tolerance=obstacle_tolerance,
+                obstacle_min_dist=obstacle_min_dist)
+
+        return jax.lax.cond(cand.count >= prune_min_live, pruned, plain)
     pad_rows, _pad_cols = map_cache.shape
     if rows is None:
         rows = pad_rows
@@ -252,54 +292,31 @@ def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
                            obstacle_tolerance=obstacle_tolerance)
 
 
-def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
-                             cache_block, row0, rows, cols,
-                             z_occ_max_dis: float = 1.0,
-                             max_dist_penalty: float = 10.0,
-                             chunk: int = 64,
-                             pixel_chunk: int = 512,
-                             dynamic_chunks: bool = True,
-                             obstacle_min_dist: float = None):
-    """Map-block-sharded partial scoring: this device owns cache rows
-    [row0, row0 + block_h) of the global field.  Returns per-candidate
-    (sum_d, n_valid, sum_far, n_far) partial sums - plain additive
-    reductions over the pixel axis, so a psum over the map axis
-    reproduces score_candidates exactly (the TPU-native form of
-    sharding the mapCache prior across hosts, SURVEY.md 5.7c/5.8).
-
-    PRECONDITION (with ``dynamic_chunks``, the default): pixels_mask
-    must be a prefix mask (see score_candidates).
-
-    sum_far/n_far aggregate the in-map pixels whose field distance is
-    >= obstacle_min_dist (default: the cap, i.e. exactly the
-    reference's sumMaxDist population, myFA.cpp:381): the score mass a
-    dynamic obstacle would contribute.  finalize_scores only reads
-    them in the opt-in obstacle-tolerant mode; they ride the same
-    fused pass for free (two extra masked reductions on values already
-    gathered)."""
-    if chunk < 1:
-        raise ValueError(f"match.score_chunk={chunk} must be >= 1")
-    if pixel_chunk < 0:
-        raise ValueError(
-            f"match.score_pixel_chunk={pixel_chunk} must be >= 0 "
-            "(0 disables pixel chunking)")
-    block_h, pad_cols = cache_block.shape
-    dt = cand.ca.dtype
-    px = pixels[:, 0].astype(dt)
-    py = pixels[:, 1].astype(dt)
-    cache_flat = cache_block.reshape(-1)
+def _check_obstacle_min_dist(obstacle_min_dist, z_occ_max_dis):
     if obstacle_min_dist is None:
-        obstacle_min_dist = z_occ_max_dis
-    elif not 0.0 < obstacle_min_dist <= z_occ_max_dis:
+        return z_occ_max_dis
+    if not 0.0 < obstacle_min_dist <= z_occ_max_dis:
         # above the cap it silently degenerates to cap-only forgiveness
         # (cache values never exceed the cap); <= 0 would forgive every
         # in-map pixel - both are config mistakes, reject loudly
         raise ValueError(
             f"obstacle_min_dist={obstacle_min_dist} must be in "
             f"(0, z_occ_max_dis={z_occ_max_dis}]")
+    return obstacle_min_dist
 
-    K = cand.ca.shape[0]
-    n_chunks = -(-K // chunk) if K > chunk else 1
+
+def _make_part_all(pixels, pixels_mask, cache_block, row0, rows, cols,
+                   z_occ_max_dis, max_dist_penalty, pixel_chunk,
+                   dynamic_chunks, obstacle_min_dist, dt):
+    """Build the fused transform+gather+reduce over one candidate chunk:
+    part_all(args6) -> (sum_d, n_valid, sum_far, n_far), each (C,).
+    Shared by the chunked partial scorer (score_candidates_partial) and
+    the pruned scorer (score_candidates_pruned) so every path computes
+    bit-identical per-candidate partials (CalcScore, myFA.cpp:357-396)."""
+    block_h, pad_cols = cache_block.shape
+    px = pixels[:, 0].astype(dt)
+    py = pixels[:, 1].astype(dt)
+    cache_flat = cache_block.reshape(-1)
 
     def part_chunk(args, pxs, pys, pms):
         ca, sa, sx, sy, mx, my = args
@@ -358,6 +375,51 @@ def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
         z = jnp.zeros((args[0].shape[0],), dt)
         return jax.lax.fori_loop(0, live_pc, pbody, (z, z, z, z))
 
+    return part_all, part_chunk
+
+
+def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
+                             cache_block, row0, rows, cols,
+                             z_occ_max_dis: float = 1.0,
+                             max_dist_penalty: float = 10.0,
+                             chunk: int = 64,
+                             pixel_chunk: int = 512,
+                             dynamic_chunks: bool = True,
+                             obstacle_min_dist: float = None):
+    """Map-block-sharded partial scoring: this device owns cache rows
+    [row0, row0 + block_h) of the global field.  Returns per-candidate
+    (sum_d, n_valid, sum_far, n_far) partial sums - plain additive
+    reductions over the pixel axis, so a psum over the map axis
+    reproduces score_candidates exactly (the TPU-native form of
+    sharding the mapCache prior across hosts, SURVEY.md 5.7c/5.8).
+
+    PRECONDITION (with ``dynamic_chunks``, the default): pixels_mask
+    must be a prefix mask (see score_candidates).
+
+    sum_far/n_far aggregate the in-map pixels whose field distance is
+    >= obstacle_min_dist (default: the cap, i.e. exactly the
+    reference's sumMaxDist population, myFA.cpp:381): the score mass a
+    dynamic obstacle would contribute.  finalize_scores only reads
+    them in the opt-in obstacle-tolerant mode; they ride the same
+    fused pass for free (two extra masked reductions on values already
+    gathered)."""
+    if chunk < 1:
+        raise ValueError(f"match.score_chunk={chunk} must be >= 1")
+    if pixel_chunk < 0:
+        raise ValueError(
+            f"match.score_pixel_chunk={pixel_chunk} must be >= 0 "
+            "(0 disables pixel chunking)")
+    dt = cand.ca.dtype
+    obstacle_min_dist = _check_obstacle_min_dist(obstacle_min_dist,
+                                                 z_occ_max_dis)
+
+    K = cand.ca.shape[0]
+    n_chunks = -(-K // chunk) if K > chunk else 1
+    part_all, part_chunk = _make_part_all(
+        pixels, pixels_mask, cache_block, row0, rows, cols,
+        z_occ_max_dis, max_dist_penalty, pixel_chunk, dynamic_chunks,
+        obstacle_min_dist, dt)
+
     args = (cand.ca, cand.sa, cand.sx, cand.sy, cand.mx, cand.my)
     if n_chunks > 1:
         Kp = n_chunks * chunk
@@ -382,10 +444,212 @@ def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
             parts = jax.lax.fori_loop(0, live_chunks, body,
                                       (zeros, zeros, zeros, zeros))
         else:
-            parts = jax.lax.map(
-                lambda a: part_chunk(a, px, py, pixels_mask), args)
+            # use_pc is off here (dynamic_chunks=False), so part_all is
+            # exactly the full-pixel part_chunk
+            parts = jax.lax.map(part_all, args)
         return tuple(p.reshape(-1)[:K] for p in parts)
     return part_all(args)
+
+
+def coarse_field(map_cache, block: int = 16):
+    """Min-pooled + 3x3-eroded coarse distance field for the pruning
+    bound (round 4; loop-invariant - compute ONCE per rollout, outside
+    the frame scan, and thread it in: XLA does not hoist the pool out
+    of a lax.scan body, measured).
+
+    Dlow[u, v] = min of map_cache over blocks (u+-1, v+-1), so
+    Dlow[u, v] <= cache[y, x] for EVERY cell whose block index is
+    within one of (u, v) - i.e. every cell within `block` px of any
+    point of block (u, v) (floor(a/B) and floor(b/B) differ by <= 1
+    when |a - b| <= B).  Out-of-grid neighbors contribute the identity
+    (+inf / the top u16 code): no cells live there.  Works on the raw
+    stored field (f32/bf16/u16 codes): min over codes is min over
+    values for the nonneg fixed-point encoding, so the gathered code
+    dequants exactly like a pixel gather (_dequant)."""
+    if map_cache.dtype == jnp.uint16:
+        init = np.uint16(U16_MAX)
+    else:
+        init = np.asarray(np.inf, map_cache.dtype)
+    p = jax.lax.reduce_window(map_cache, init, jax.lax.min,
+                              (block, block), (block, block), "SAME")
+    return jax.lax.reduce_window(p, init, jax.lax.min,
+                                 (3, 3), (1, 1), "SAME")
+
+
+def _group_stats(pixels, pixels_mask, group: int, dt):
+    """Per-group centroid / radius / live count of the compacted scan
+    pixel cloud, groups of `group` CONSECUTIVE slots (consecutive
+    pixels rasterize adjacent map cells, so groups are spatially tight
+    - small radii keep the bound sharp).  Rigid transforms preserve
+    the centroid distance, so the stats are computed once per frame in
+    scan coordinates and reused by every candidate."""
+    P = pixels.shape[0]
+    pad = (-P) % group
+    px = pixels[:, 0].astype(dt)
+    py = pixels[:, 1].astype(dt)
+    m = pixels_mask
+    if pad:
+        px = jnp.concatenate([px, jnp.zeros((pad,), dt)])
+        py = jnp.concatenate([py, jnp.zeros((pad,), dt)])
+        m = jnp.concatenate([m, jnp.zeros((pad,), bool)])
+    G = px.shape[0] // group
+    px = px.reshape(G, group)
+    py = py.reshape(G, group)
+    m = m.reshape(G, group)
+    n = jnp.sum(m, axis=1).astype(dt)
+    den = jnp.maximum(n, 1.0)
+    cx = jnp.sum(jnp.where(m, px, 0.0), axis=1) / den
+    cy = jnp.sum(jnp.where(m, py, 0.0), axis=1) / den
+    r = jnp.max(jnp.where(m, jnp.sqrt((px - cx[:, None]) ** 2
+                                      + (py - cy[:, None]) ** 2), 0.0),
+                axis=1)
+    return cx, cy, r, n
+
+
+def _chunk_bound(args, gs, coarse_flat, coarse_w, coarse_h, block,
+                 rows, cols, z_occ_max_dis, max_dist_penalty,
+                 obstacle_tolerance, valid_ratio, n_all, dt):
+    """Provable per-candidate lower bound on the CalcScore of one
+    candidate chunk (C,) from the (G,) group stats.
+
+    Soundness (score = sum_d/n_valid + pen*(n_all-n_valid)/n_all,
+    myFA.cpp:357-396):
+      * a group PROVEN fully in-map (centroid box test with margin r;
+        rounding moves a pixel by <= 0.5, covered by the +-1-block
+        erosion when r + 0.5 <= block) has every pixel contribution
+        >= clow = (at-cap ? pen : Dlow), so sum_d >= S_low =
+        sum(n_g * clow_g) over proven groups, and sum_d/n_valid >=
+        S_low/n_all since n_valid <= n_all;
+      * a group PROVEN fully out-of-map adds pen*n_g/n_all to the
+        second term (n_all - n_valid >= O = sum of proven-out counts),
+        and if O alone breaks the validity gate the score is inf;
+      * with obstacle_tolerance t > 0 the robust score removes at most
+        forgiven*mean_far <= t*n_all*pen from the numerator over a
+        denominator <= n_all, so bound - pen*t stays a lower bound
+        (numerator is provably >= 0: frac <= 1 and sum_far <= sum_d).
+    Unproven groups contribute 0 - always sound, only less sharp."""
+    ca, sa, sx, sy, mx, my = args
+    cx, cy, r, n = gs
+    tx = (cx[None, :] - sx[:, None]) * ca[:, None] - \
+        (cy[None, :] - sy[:, None]) * sa[:, None] + mx[:, None]
+    ty = (cx[None, :] - sx[:, None]) * sa[:, None] + \
+        (cy[None, :] - sy[:, None]) * ca[:, None] + my[:, None]
+    rr = r[None, :]
+    live = n[None, :] > 0
+    in_ok = live & (rr + 0.5 <= block) & \
+        (tx - rr >= 0) & (tx + rr <= cols - 1) & \
+        (ty - rr >= 0) & (ty + rr <= rows - 1)
+    out_ok = live & ((tx + rr <= -1) | (tx - rr >= cols) |
+                     (ty + rr <= -1) | (ty - rr >= rows))
+    ub = jnp.clip((ty / block).astype(jnp.int32), 0, coarse_h - 1)
+    vb = jnp.clip((tx / block).astype(jnp.int32), 0, coarse_w - 1)
+    vals, at_cap = _dequant(
+        jnp.take(coarse_flat, (ub * coarse_w + vb).reshape(-1)
+                 ).reshape(ub.shape), dt, z_occ_max_dis)
+    clow = jnp.where(at_cap, max_dist_penalty, vals)
+    s_low = jnp.sum(jnp.where(in_ok, n[None, :] * clow, 0.0), axis=1)
+    o = jnp.sum(jnp.where(out_ok, n[None, :], 0.0), axis=1)
+    bound = jnp.maximum(
+        s_low / n_all - max_dist_penalty * obstacle_tolerance, 0.0) + \
+        max_dist_penalty * o / n_all
+    return jnp.where(o > (1.0 - valid_ratio) * n_all, jnp.inf, bound)
+
+
+def score_candidates_pruned(cand: Candidates, pixels, pixels_mask,
+                            map_cache, coarse, rows=None, cols=None,
+                            z_occ_max_dis: float = 1.0,
+                            max_dist_penalty: float = 10.0,
+                            valid_ratio: float = 0.7,
+                            chunk: int = 64,
+                            pixel_chunk: int = 512,
+                            obstacle_tolerance: float = 0.0,
+                            obstacle_min_dist: float = None,
+                            prune_accept: float = 3.0,
+                            prune_block: int = 16,
+                            prune_group: int = 16) -> jnp.ndarray:
+    """score_candidates with exact bound-based pruning (round 4).
+
+    Identical rollout outputs to score_candidates, cheaper execution:
+    every live candidate first gets the _chunk_bound lower bound (a
+    (C, G) coarse gather, ~12x fewer gathered elements than the exact
+    (C, P) sweep); candidates whose bound already fails prune_accept
+    can never be accepted (the reference stores only score < 3,
+    myFA.cpp:261-265, and the first-frame argmin / relock ambiguity
+    also read accepted candidates only), so they skip the exact pass.
+    Survivor INDICES are compacted and the exact loop's trip count
+    follows the survivor count; partials scatter back to their slots,
+    so each survivor's (sum_d, n_valid, ...) reduction is bit-identical
+    to the unpruned path.  Pruned candidates finalize to a score that
+    is either inf (never scored: 0-partials fail the validity gate) or
+    their true score >= prune_accept (the last chunk's index padding
+    re-scores slot 0) - both are rejected by every downstream consumer
+    exactly like their true score would be.
+
+    PRECONDITIONS: pixels_mask is a prefix mask; `coarse` comes from
+    coarse_field(map_cache, prune_block) on the SAME stored field.
+    Requires the full-height field (no mp map-block sharding)."""
+    pad_rows, pad_cols = map_cache.shape
+    if rows is None:
+        rows = pad_rows
+    if cols is None:
+        cols = pad_cols
+    dt = cand.ca.dtype
+    obstacle_min_dist = _check_obstacle_min_dist(obstacle_min_dist,
+                                                 z_occ_max_dis)
+    part_all, _ = _make_part_all(
+        pixels, pixels_mask, map_cache, 0, rows, cols,
+        z_occ_max_dis, max_dist_penalty, pixel_chunk, True,
+        obstacle_min_dist, dt)
+    n_all = jnp.sum(pixels_mask).astype(dt)
+    gs = _group_stats(pixels, pixels_mask, prune_group, dt)
+    coarse_h, coarse_w = coarse.shape
+    coarse_flat = coarse.reshape(-1)
+
+    K = cand.ca.shape[0]
+    n_chunks = -(-K // chunk)
+    Kp = n_chunks * chunk
+    flat = jax.tree.map(
+        lambda a: jnp.concatenate([a, jnp.zeros((Kp - K,), a.dtype)])
+        if Kp > K else a,
+        (cand.ca, cand.sa, cand.sx, cand.sy, cand.mx, cand.my))
+    chunked = jax.tree.map(lambda a: a.reshape(n_chunks, chunk), flat)
+
+    # phase 1: bounds for the live candidate prefix
+    n_live = jnp.clip(cand.count, 0, K)
+    live_chunks = (n_live + chunk - 1) // chunk
+
+    def bbody(i, buf):
+        b = _chunk_bound(jax.tree.map(lambda a: a[i], chunked), gs,
+                         coarse_flat, coarse_w, coarse_h, prune_block,
+                         rows, cols, z_occ_max_dis, max_dist_penalty,
+                         obstacle_tolerance, valid_ratio, n_all, dt)
+        return jax.lax.dynamic_update_slice_in_dim(buf, b, i * chunk, 0)
+
+    bounds = jax.lax.fori_loop(0, live_chunks, bbody,
+                               jnp.full((Kp,), jnp.inf, dt))
+    maybe = (bounds[:K] < prune_accept) & cand.mask
+
+    # phase 2: exact partials for the compacted survivors only
+    surv_idx, _sm, n_surv = geo.masked_compact(
+        jnp.arange(K, dtype=jnp.int32), maybe, K)
+    surv_idx = jnp.concatenate(
+        [surv_idx, jnp.zeros((Kp - K,), jnp.int32)]) if Kp > K else surv_idx
+    surv_chunks = (jnp.clip(n_surv, 0, K) + chunk - 1) // chunk
+
+    def ebody(i, bufs):
+        idx = jax.lax.dynamic_slice_in_dim(surv_idx, i * chunk, chunk)
+        parts = part_all(jax.tree.map(lambda a: a[idx], flat))
+        return tuple(b.at[idx].set(p) for b, p in zip(bufs, parts))
+
+    zeros = jnp.zeros((Kp,), dt)
+    parts = jax.lax.fori_loop(0, surv_chunks, ebody,
+                              (zeros, zeros, zeros, zeros))
+    sum_d, n_valid, sum_far, n_far = (p[:K] for p in parts)
+    return finalize_scores(cand, sum_d, n_valid, n_all,
+                           sum_far=sum_far, n_far=n_far,
+                           max_dist_penalty=max_dist_penalty,
+                           valid_ratio=valid_ratio,
+                           obstacle_tolerance=obstacle_tolerance)
 
 
 def finalize_scores(cand: Candidates, sum_d, n_valid, n_all,

@@ -125,24 +125,37 @@ def featurize_stage(frame_inputs, ctx: MapContext,
 def localization_step(state: TrackState, frame_inputs, ctx: MapContext,
                       cfg: EngineConfig = DEFAULT,
                       tp_axis: Optional[str] = None,
-                      mp_axis: Optional[str] = None
-                      ) -> Tuple[TrackState, dict]:
+                      mp_axis: Optional[str] = None,
+                      coarse=None) -> Tuple[TrackState, dict]:
     """One frame: featurize + associate + fuse + UKF + driver state update.
 
     frame_inputs: (ranges (N,), angles (N,), valid (N,), n (),
                    odom_prev (3,), odom_cur (3,)).
+    coarse: optional precomputed pruning field (prepare_coarse) -
+    LOOP-INVARIANT, so sequence runners compute it once outside their
+    frame scan; None (or cfg.match.prune off) scores unpruned.
     Returns (new_state, outputs dict).
     """
     fs = featurize_stage(frame_inputs, ctx, cfg)
     return match_stage(state, fs, frame_inputs, ctx, cfg,
-                       tp_axis=tp_axis, mp_axis=mp_axis)
+                       tp_axis=tp_axis, mp_axis=mp_axis, coarse=coarse)
+
+
+def prepare_coarse(ctx: MapContext, cfg: EngineConfig = DEFAULT):
+    """The per-map pruning field for localization_step/match_stage, or
+    None when pruning is off.  Call ONCE per rollout, OUTSIDE the frame
+    scan (XLA does not hoist the pool out of a scan body - measured;
+    match/associate.coarse_field)."""
+    if not cfg.match.prune:
+        return None
+    return assoc.coarse_field(ctx.cache, cfg.match.prune_block)
 
 
 def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
                 cfg: EngineConfig = DEFAULT,
                 tp_axis: Optional[str] = None,
-                mp_axis: Optional[str] = None
-                ) -> Tuple[TrackState, dict]:
+                mp_axis: Optional[str] = None,
+                coarse=None) -> Tuple[TrackState, dict]:
     """Pipeline stage B: association + fusion + UKF + driver state
     (L4/L5 of the reference), consuming pre-computed ScanFeatures."""
     ranges, angles, valid, n, odom_prev, odom_cur = frame_inputs
@@ -225,7 +238,12 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
             pixel_chunk=cfg.match.score_pixel_chunk,
             dynamic_chunks=cfg.match.score_dynamic_chunks,
             obstacle_tolerance=cfg.match.obstacle_tolerance,
-            obstacle_min_dist=cfg.match.obstacle_min_dist)
+            obstacle_min_dist=cfg.match.obstacle_min_dist,
+            coarse=coarse if cfg.match.prune else None,
+            prune_accept=cfg.match.score_accept,
+            prune_block=cfg.match.prune_block,
+            prune_group=cfg.match.prune_group,
+            prune_min_live=cfg.match.prune_min_live)
     pose_w, fused_score, pose_min, min_score, n_acc = assoc.fuse(
         cand, scores, cfg.match.score_accept, axis_name=tp_axis)
     if cfg.match.polish_pose and mp_axis is not None:
@@ -351,6 +369,7 @@ def run_sequence(frames, ctx: MapContext, cfg: EngineConfig = DEFAULT):
     chain; outputs are identical either way.
     """
     state = init_state(frames["ranges"].dtype)
+    coarse = prepare_coarse(ctx, cfg)
 
     if cfg.prefeaturize:
         fs_all = jax.vmap(
@@ -363,7 +382,7 @@ def run_sequence(frames, ctx: MapContext, cfg: EngineConfig = DEFAULT):
             carry = reset_carry(carry, fr)
             inputs = (fr["ranges"], fr["angles"], fr["valid"], fr["n"],
                       fr["odom_prev"], fr["odom_cur"])
-            return match_stage(carry, fs, inputs, ctx, cfg)
+            return match_stage(carry, fs, inputs, ctx, cfg, coarse=coarse)
 
         _final, outs = jax.lax.scan(step, state, (frames, fs_all))
         return outs
@@ -372,7 +391,7 @@ def run_sequence(frames, ctx: MapContext, cfg: EngineConfig = DEFAULT):
         carry = reset_carry(carry, fr)
         inputs = (fr["ranges"], fr["angles"], fr["valid"], fr["n"],
                   fr["odom_prev"], fr["odom_cur"])
-        return localization_step(carry, inputs, ctx, cfg)
+        return localization_step(carry, inputs, ctx, cfg, coarse=coarse)
 
     _final, outs = jax.lax.scan(step, state, frames)
     return outs
@@ -405,15 +424,26 @@ def stack_frames(ds, dtype=np.float32, points_per_scan: int = 360,
 
 def make_map_context(map_lines: np.ndarray, map_cache: np.ndarray,
                      resol: float, ori_x: float, ori_y: float,
-                     max_map_lines: int = 256,
+                     max_map_lines: Optional[int] = None,
                      dtype=np.float32, cache_dtype: str = "f32",
                      z_occ_max_dis: float = 1.0) -> MapContext:
     """Host-side: pad map artifacts into a MapContext.
+
+    max_map_lines None (default) sizes the pad to the map: the line
+    count rounded up to a multiple of 64 (min 64).  The candidate
+    domain is (S, M, 4), so padding a 47-line map to the old fixed 256
+    made 5/6 of every per-frame gate+compact pass dead weight; auto
+    sizing is output-identical (padding never passes the gates) but
+    changes the compiled shape, so pass an explicit cap when several
+    maps must share one compiled rollout (runtime/batch.stack_batch
+    does its own common-cap padding via cfg.shapes.max_map_lines).
 
     cache_dtype: "f32" (exact, at `dtype`), "bf16", or "u16"
     (half-size VMEM-resident field - see assoc.quantize_cache;
     z_occ_max_dis is the u16 fixed-point scale and must match the
     cap the cache was built with)."""
+    if max_map_lines is None:
+        max_map_lines = max(64, -(-int(map_lines.shape[0]) // 64) * 64)
     M = max_map_lines
     lines = np.zeros((M, 10), dtype)
     mask = np.zeros((M,), bool)

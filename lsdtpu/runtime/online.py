@@ -33,8 +33,9 @@ from lsdtpu.scan.featurize import featurize
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _step(state, frame_inputs, ctx, cfg):
-    return localization_step(state, frame_inputs, ctx, cfg)
+def _step(state, frame_inputs, ctx, cfg, coarse=None):
+    return localization_step(state, frame_inputs, ctx, cfg,
+                             coarse=coarse)
 
 
 def occupancy_grid_to_map_value(data, width: int, height: int) -> np.ndarray:
@@ -172,6 +173,10 @@ class OnlineLocalizer:
             max_map_lines=self.cfg.shapes.max_map_lines, dtype=self.dtype,
             cache_dtype=cache_dtype,
             z_occ_max_dis=self.cfg.map.z_occ_max_dis)
+        # per-map pruning field, loop-invariant: computed once here,
+        # never per pushed scan (runtime/loop.prepare_coarse)
+        from lsdtpu.runtime.loop import prepare_coarse
+        self._coarse = prepare_coarse(self.ctx, self.cfg)
         self.reset()
 
     def reset(self) -> None:
@@ -212,7 +217,8 @@ class OnlineLocalizer:
         inputs = (jnp.asarray(r), jnp.asarray(a), jnp.asarray(v),
                   jnp.asarray(n, jnp.int32), jnp.asarray(prev),
                   jnp.asarray(odom))
-        self.state, out = _step(self.state, inputs, self.ctx, self.cfg)
+        self.state, out = _step(self.state, inputs, self.ctx, self.cfg,
+                                getattr(self, "_coarse", None))
         self._prev_odom = odom
         res = {k: np.asarray(val) for k, val in out.items()}
         from lsdtpu.eval.ate import pixel_to_world

@@ -27,7 +27,7 @@ from jax import shard_map
 
 from lsdtpu.config import EngineConfig, DEFAULT
 from lsdtpu.runtime.loop import (MapContext, featurize_stage, init_state,
-                                 match_stage)
+                                 match_stage, prepare_coarse)
 
 PP_AXIS = "pp"
 
@@ -63,8 +63,10 @@ def _runner(mesh: Mesh, cfg: EngineConfig):
         dummy = tuple(jnp.zeros_like(v[0]) for v in _as_inputs(feat_in))
         fs0 = featurize_stage(dummy, ctx, cfg)
         state0 = init_state(dt)
+        coarse = prepare_coarse(ctx, cfg)
         out_shapes = jax.eval_shape(
-            lambda: match_stage(state0, fs0, dummy, ctx, cfg)[1])
+            lambda: match_stage(state0, fs0, dummy, ctx, cfg,
+                                coarse=coarse)[1])
         outs0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
                              out_shapes)
 
@@ -84,7 +86,7 @@ def _runner(mesh: Mesh, cfg: EngineConfig):
             new_state, outs = jax.lax.cond(
                 rank == 1,
                 lambda: match_stage(state, fs_prev, _as_inputs(ma), ctx,
-                                    cfg),
+                                    cfg, coarse=coarse),
                 lambda: (state, outs0))
             new_state = jax.tree.map(
                 lambda new, old: jnp.where(warmup, old, new), new_state,

@@ -36,13 +36,21 @@ def make_pool_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _pool_step(states: TrackState, inputs, ctxs: MapContext, active,
-               cfg: EngineConfig):
-    """Vmapped localization step; inactive slots keep their state."""
+               cfg: EngineConfig, coarse=None):
+    """Vmapped localization step; inactive slots keep their state.
+    coarse: optional (B, ch, cw) per-slot pruning fields, maintained by
+    the pool alongside the slot caches (loop-invariant across ticks)."""
 
-    def one(state, inp, ctx):
-        return localization_step(state, inp, ctx, cfg)
+    if coarse is None:
+        def one(state, inp, ctx):
+            return localization_step(state, inp, ctx, cfg)
 
-    new_states, outs = jax.vmap(one)(states, inputs, ctxs)
+        new_states, outs = jax.vmap(one)(states, inputs, ctxs)
+    else:
+        def one_p(state, inp, ctx, co):
+            return localization_step(state, inp, ctx, cfg, coarse=co)
+
+        new_states, outs = jax.vmap(one_p)(states, inputs, ctxs, coarse)
     keep = lambda new, old: jnp.where(
         active.reshape((-1,) + (1,) * (new.ndim - 1)), new, old)
     new_states = jax.tree.map(keep, new_states, states)
@@ -100,9 +108,21 @@ class SessionPool:
             ori_x=z((capacity,), dtype), ori_y=z((capacity,), dtype))
         self._states = jax.vmap(lambda _: init_state(jnp.dtype(dtype)))(
             jnp.arange(capacity))
+        # per-slot pruning fields (match/associate.coarse_field),
+        # recomputed only when a slot's map changes - never per tick
+        if cfg.match.prune:
+            from lsdtpu.match.associate import coarse_field
+            self._coarse_fn = partial(coarse_field,
+                                      block=cfg.match.prune_block)
+            self._coarse = jax.vmap(self._coarse_fn)(self._ctxs.cache)
+        else:
+            self._coarse_fn = None
+            self._coarse = None
         if self._sharding is not None:
             self._ctxs = jax.tree.map(self._sharding, self._ctxs)
             self._states = jax.tree.map(self._sharding, self._states)
+            if self._coarse is not None:
+                self._coarse = self._sharding(self._coarse)
         # only the user-requested capacity is ever handed out; padded
         # slots (mesh multiple) stay permanently free
         self._free: List[int] = list(range(self.capacity))
@@ -149,6 +169,9 @@ class SessionPool:
             resol=set_slot(self._ctxs.resol, resol),
             ori_x=set_slot(self._ctxs.ori_x, ori_x),
             ori_y=set_slot(self._ctxs.ori_y, ori_y))
+        if self._coarse is not None:
+            self._coarse = set_slot(self._coarse,
+                                    self._coarse_fn(jnp.asarray(cache)))
         self._reset_slot(slot)
         self._sessions[sid] = slot
 
@@ -222,7 +245,8 @@ class SessionPool:
             inputs = jax.tree.map(self._sharding, inputs)
             active_dev = self._sharding(active_dev)
         self._states, outs = _pool_step(self._states, inputs, self._ctxs,
-                                        active_dev, self.cfg)
+                                        active_dev, self.cfg,
+                                        self._coarse)
         outs = {k: np.asarray(v) for k, v in outs.items()}
         results = {}
         for sid, slot in self._sessions.items():

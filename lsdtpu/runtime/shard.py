@@ -34,7 +34,8 @@ from jax import shard_map
 
 from lsdtpu.config import EngineConfig, DEFAULT
 from lsdtpu.runtime.loop import (MapContext, init_state,
-                                 localization_step, reset_carry)
+                                 localization_step, prepare_coarse,
+                                 reset_carry)
 
 TP_AXIS = "tp"
 DP_AXIS = "dp"
@@ -149,13 +150,16 @@ def _runner(mesh: Mesh, cfg: EngineConfig, kind: str,
         # mp: cx.cache (B/dp, H/mp, W)
         def one_seq(fr1, cx1):
             state = init_state(fr1["ranges"].dtype)
+            # pruning needs the full-height field: tp replicates the
+            # cache, mp owns only a row block (scores unpruned)
+            coarse = prepare_coarse(cx1, cfg) if kind == "tp" else None
 
             def step(carry, f):
                 carry = reset_carry(carry, f)
                 inputs = (f["ranges"], f["angles"], f["valid"], f["n"],
                           f["odom_prev"], f["odom_cur"])
                 return localization_step(carry, inputs, cx1, cfg,
-                                         **axis_kw)
+                                         coarse=coarse, **axis_kw)
 
             _s, outs = jax.lax.scan(step, state, fr1)
             return outs

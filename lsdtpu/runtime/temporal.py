@@ -45,7 +45,8 @@ from jax import shard_map
 
 from lsdtpu.config import EngineConfig, DEFAULT
 from lsdtpu.runtime.loop import (MapContext, init_state,
-                                 localization_step, reset_carry)
+                                 localization_step, prepare_coarse,
+                                 reset_carry)
 from lsdtpu.runtime.shard import DP_AXIS
 
 
@@ -111,12 +112,14 @@ def _sp_runner(mesh: Mesh, cfg: EngineConfig, has_reset: bool):
         # fr: (S/n_dev, L+W, ...); ctx replicated
         def one_seg(fr1):
             state = init_state(fr1["ranges"].dtype)
+            coarse = prepare_coarse(ctx, cfg)
 
             def step(carry, f):
                 carry = reset_carry(carry, f)
                 inputs = (f["ranges"], f["angles"], f["valid"], f["n"],
                           f["odom_prev"], f["odom_cur"])
-                return localization_step(carry, inputs, ctx, cfg)
+                return localization_step(carry, inputs, ctx, cfg,
+                                         coarse=coarse)
 
             _s, outs = jax.lax.scan(step, state, fr1)
             return outs

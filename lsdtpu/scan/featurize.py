@@ -112,17 +112,40 @@ def _segment_cells(ranges, xs, ys, valid, n, least_point: int):
     return cell_id, rot
 
 
+# Above this size the dense (N, N) forms below would outgrow VMEM;
+# scans here are 360 points so the dense path is always taken (the
+# associative-scan fallback is kept for arbitrary callers).
+_DENSE_MAX = 1024
+
+
 def _prev_set_index(mask, N):
-    """For each i, the largest j < i with mask[j], else -1 (via cummax)."""
-    idx = jnp.where(mask, jnp.arange(N), -1)
-    run = jax.lax.associative_scan(jnp.maximum, idx)
+    """For each i, the largest j < i with mask[j], else -1.
+
+    Dense (N, N) masked row-max: one fused compare+select+reduce on the
+    VPU instead of a log-depth associative scan (~9 rounds of small
+    slice/pad ops) - the scan dominated the per-frame featurize cost on
+    TPU (round-4 attribution); results are identical."""
+    idx = jnp.arange(N)
+    if N <= _DENSE_MAX:
+        cand = jnp.where(mask[None, :] & (idx[None, :] < idx[:, None]),
+                         idx[None, :], -1)
+        return jnp.max(cand, axis=1)
+    run = jax.lax.associative_scan(jnp.maximum,
+                                   jnp.where(mask, idx, -1))
     return jnp.concatenate([jnp.array([-1]), run[:-1]])
 
 
 def _next_set_index(mask, N):
-    """For each i, the smallest j >= i with mask[j], else N (via cummin)."""
-    idx = jnp.where(mask, jnp.arange(N), N)
-    return jax.lax.associative_scan(jnp.minimum, idx, reverse=True)
+    """For each i, the smallest j >= i with mask[j], else N (dense row
+    reduce; see _prev_set_index)."""
+    idx = jnp.arange(N)
+    if N <= _DENSE_MAX:
+        cand = jnp.where(mask[None, :] & (idx[None, :] >= idx[:, None]),
+                         idx[None, :], N)
+        return jnp.min(cand, axis=1)
+    return jax.lax.associative_scan(jnp.minimum,
+                                    jnp.where(mask, idx, N),
+                                    reverse=True)
 
 
 def _point_line_distance(px, py, ax, ay, bx, by):
@@ -158,19 +181,23 @@ def _rdp_rounds(gwx, gwy, ranges_r, marker, interior_ok, thre_line: float,
         dist = _point_line_distance(gwx, gwy, gwx[a], gwy[a], gwx[b], gwy[b])
         dist = jnp.where(interior & ~jnp.isnan(dist), dist, -jnp.inf)
         # segmented first-argmax keyed by interval start (reference keeps
-        # the first strict maximum, myRDP.cpp:247-251)
-        seg = jnp.where(interior, a, N)
-        seg_max = jax.ops.segment_max(dist, seg, num_segments=N + 1,
-                                      indices_are_sorted=False)
-        is_max = interior & (dist == seg_max[seg]) & jnp.isfinite(dist)
-        first_max = jax.ops.segment_min(jnp.where(is_max, idx, N), seg,
-                                        num_segments=N + 1)
-        i_max = first_max[seg]
+        # the first strict maximum, myRDP.cpp:247-251).  Interior points
+        # of one interval share the same prev marker `a`, so interval
+        # membership is the dense (N, N) predicate a[i] == a[j] - the
+        # per-interval max and first-argmax become masked row reductions
+        # (two fused VPU passes) instead of scatter-based segment ops,
+        # which dominated the round cost on TPU (round-4 attribution).
+        mate = interior[:, None] & interior[None, :] & \
+            (a[:, None] == a[None, :])
+        seg_max = jnp.max(jnp.where(mate, dist[None, :], -jnp.inf), axis=1)
+        is_max = interior & (dist == seg_max) & jnp.isfinite(dist)
+        first_max = jnp.min(
+            jnp.where(mate & is_max[None, :], idx[None, :], N), axis=1)
         # reference: interval len must exceed 2 points; with our marker
         # construction an interval of len<=2 simply has no interior.
-        r_imax = ranges_r[jnp.clip(i_max, 0, N - 1)]
-        thre = jnp.where(r_imax > 9.0, r_imax * thre_line, thre_line)
-        new_marker = is_max & (idx == i_max) & (seg_max[seg] > thre)
+        # At i == i_max the threshold range is the point's own range.
+        thre = jnp.where(ranges_r > 9.0, ranges_r * thre_line, thre_line)
+        new_marker = is_max & (idx == first_max) & (seg_max > thre)
         changed = jnp.any(new_marker & ~marker)
         return marker | new_marker, changed, it + 1
 
@@ -213,6 +240,43 @@ def _segment_pixels(x1, y1, x2, y2, x_lim, y_lim, t):
     yy = jnp.where(in_grid, yy, 0.0)
     valid = (t < n_steps) & (xx != 0) & (yy != 0)   # (0,0)/axis sentinel drop
     return xx, yy, valid, n_steps
+
+
+def _compact_pixels(px_x, px_y, px_ok, n_live_segs, max_pixels: int,
+                    seg_chunk: int = 8):
+    """Order-preserving compaction of the (S, T) pixel grid into a
+    (max_pixels, 2) prefix buffer - bitwise geo.masked_compact on the
+    flattened grid, but the scatter runs in seg_chunk-row chunks under
+    a fori_loop whose trip count follows the LIVE segment count
+    (lines_mask is a prefix: masked_compact output).  A typical frame
+    has ~10-20 live segments of the S=64 cap, so ~2 chunks of the
+    scatter execute instead of all S*T elements - the full-grid
+    scatter was the largest single featurize cost on TPU (round-4
+    attribution).  Skipped rows hold only dead pixels (px_ok already
+    includes lines_mask), whose slots all point at the overflow dump."""
+    S, T = px_ok.shape
+    dtype = px_x.dtype
+    ok = px_ok.reshape(-1)
+    pos = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    count = jnp.sum(ok.astype(jnp.int32))
+    slot = jnp.where(ok & (pos < max_pixels), pos, max_pixels)
+    vals = jnp.stack([px_x.reshape(-1), px_y.reshape(-1)], axis=-1)
+    slot = slot.reshape(S, T)
+    vals = vals.reshape(S, T, 2)
+    n_chunks = -(-S // seg_chunk)
+    live_chunks = jnp.clip((n_live_segs + seg_chunk - 1) // seg_chunk,
+                           0, n_chunks)
+
+    def body(c, buf):
+        r0 = c * seg_chunk
+        sl = jax.lax.dynamic_slice_in_dim(slot, r0, seg_chunk, 0)
+        vl = jax.lax.dynamic_slice_in_dim(vals, r0, seg_chunk, 0)
+        return buf.at[sl.reshape(-1)].set(vl.reshape(-1, 2))
+
+    buf = jnp.zeros((max_pixels + 1, 2), dtype)
+    buf = jax.lax.fori_loop(0, live_chunks, body, buf)
+    out_mask = jnp.arange(max_pixels) < count
+    return buf[:max_pixels], out_mask, count
 
 
 @partial(jax.jit, static_argnames=("least_point", "thre_line", "least_dist",
@@ -298,9 +362,8 @@ def featurize(ranges, angles, valid, n, resol, ori_x, ori_y,
                                      x_lim, y_lim, t)
     )(seg_ends, lines_mask)
     px_ok = px_ok & lines_mask[:, None]
-    flat = jnp.stack([px_x.reshape(-1), px_y.reshape(-1)], axis=-1)
-    pix, pixels_mask, n_pix = geo.masked_compact(
-        flat, px_ok.reshape(-1), max_pixels)
+    pix, pixels_mask, n_pix = _compact_pixels(
+        px_x, px_y, px_ok, jnp.sum(lines_mask), max_pixels)
     # a live segment longer than the static step grid would rasterize
     # only its first max_steps pixels - flag it, never truncate silently
     step_overflow = jnp.any(lines_mask & (n_steps > max_steps))

@@ -1,0 +1,168 @@
+"""Round-4 time-to-value stage attribution for the headline rollout.
+
+Measures, in ONE process on the current default backend (TPU under the
+driver), median-of-N time-to-value for:
+
+  * full      - the bench rollout (run_sequence, pinned K=4096/P=2048)
+  * feat      - featurize-only rollout: lax.scan of featurize_stage
+                over the same frames, materializing per-frame outputs
+  * match     - match-stage-only rollout: featurize precomputed OUTSIDE
+                the timed region (vmapped), timed scan runs
+                match_stage (candgen + score + fuse + UKF + glue)
+  * ukf       - UKF-chain-only rollout: lax.scan of ukf_step with
+                fixed measurements
+
+Every timing materializes outputs on the host (np.asarray): through
+the axon relay block_until_ready returns at enqueue (docs/RESULTS.md
+round-3 correction), so time-to-value is the only valid method here.
+
+Usage: python scripts/attrib_r4.py [--cpu] [--repeats N]
+       [--only full,feat,match,ukf]
+Run it under `timeout` and never alongside another python process when
+on-chip (CLAUDE.md relay notes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA = "/root/reference/data_20190513/data_f3key/data1"
+
+
+def timed(fn, n):
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts), min(ts), max(ts)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--only", default="full,feat,match,ukf")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from lsdtpu.config import DEFAULT
+    from lsdtpu.filter import ukf as fukf
+    from lsdtpu.io import load_dataset
+    from lsdtpu.runtime.artifacts import prepare_map_cached
+    from lsdtpu.runtime.loop import (featurize_stage, init_state,
+                                     make_map_context, match_stage,
+                                     run_sequence, stack_frames)
+
+    ds = load_dataset(DATA)
+    lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
+                                      backend="oracle")
+    cfg = dataclasses.replace(
+        DEFAULT, shapes=dataclasses.replace(
+            DEFAULT.shapes, max_candidates=4096, max_scan_pixels=2048))
+    ctx = make_map_context(lines, cache, ds.param.resol, ds.param.ori_x,
+                           ds.param.ori_y, dtype=np.float32)
+    frames = stack_frames(ds, dtype=np.float32)
+    F = frames["ranges"].shape[0]
+    print(f"# backend={jax.default_backend()} frames={F} "
+          f"map_lines_pad={int(ctx.lines.shape[0])}", file=sys.stderr)
+
+    results = {}
+    only = set(args.only.split(","))
+
+    def record(name, run, materialize):
+        jax.block_until_ready(run())        # compile
+        materialize(run())                  # first-value warmup
+        med, lo, hi = timed(lambda: materialize(run()), args.repeats)
+        results[name] = {"median_ms": round(med * 1e3, 2),
+                         "min_ms": round(lo * 1e3, 2),
+                         "max_ms": round(hi * 1e3, 2)}
+        print(f"{name:6s} {med * 1e3:9.2f} ms  "
+              f"[{lo * 1e3:.2f}, {hi * 1e3:.2f}]", flush=True)
+
+    if "full" in only:
+        record("full", lambda: run_sequence(frames, ctx, cfg),
+               lambda o: np.asarray(o["pose"]))
+
+    if "feat" in only:
+        @jax.jit
+        def feat_roll(frames):
+            def step(carry, fr):
+                fs = featurize_stage(
+                    (fr["ranges"], fr["angles"], fr["valid"], fr["n"],
+                     fr["odom_prev"], fr["odom_cur"]), ctx, cfg)
+                return carry, (fs.n_pixels, fs.lidar_pos,
+                               jnp.sum(fs.lines_mask))
+            _c, outs = jax.lax.scan(step, 0, frames)
+            return outs
+
+        record("feat", lambda: feat_roll(frames),
+               lambda o: (np.asarray(o[0]), np.asarray(o[1])))
+
+    if "match" in only:
+        @jax.jit
+        def featurize_all(frames):
+            return jax.vmap(lambda fr: featurize_stage(
+                (fr["ranges"], fr["angles"], fr["valid"], fr["n"],
+                 fr["odom_prev"], fr["odom_cur"]), ctx, cfg))(frames)
+
+        fs_all = jax.block_until_ready(featurize_all(frames))
+
+        @jax.jit
+        def match_roll(frames, fs_all):
+            state = init_state(frames["ranges"].dtype)
+
+            def step(carry, xs):
+                fr, fs = xs
+                inputs = (fr["ranges"], fr["angles"], fr["valid"],
+                          fr["n"], fr["odom_prev"], fr["odom_cur"])
+                return match_stage(carry, fs, inputs, ctx, cfg)
+
+            _f, outs = jax.lax.scan(step, state, (frames, fs_all))
+            return outs
+
+        record("match", lambda: match_roll(frames, fs_all),
+               lambda o: np.asarray(o["pose"]))
+
+    if "ukf" in only:
+        @jax.jit
+        def ukf_roll(n):
+            x0 = jnp.asarray(fukf.RESET_X, jnp.float32)
+            P0 = jnp.asarray(fukf.RESET_P, jnp.float32)
+            sp = jnp.array([0.1, 0.05, 0.01], jnp.float32)
+
+            def step(carry, _):
+                x, P = carry
+                x2, P2 = fukf.ukf_step(x, P, sp, x[:3] + 0.01)
+                return (x2, P2), x2[0]
+
+            (_x, _P), xs = jax.lax.scan(step, (x0, P0), None, length=n)
+            return xs
+
+        record("ukf", lambda: ukf_roll(F),
+               lambda o: np.asarray(o))
+
+    print(json.dumps(results))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(results, fh, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,234 @@
+"""Process-isolated dp scaling measurement (round 4, VERDICT task 4).
+
+The north-star scaling claim ("linear by construction for independent
+sequences") was argued and virtual-mesh-dryrun-verified but never
+MEASURED with real process/chip isolation: virtual CPU devices share
+host cores, so a virtual dp=8 mesh measures contention, not scaling.
+This script measures the real thing available on this host - OS
+processes pinned to disjoint cores:
+
+  solo   : 1 process pinned to core 0, single-device rollout of one
+           real sequence (time-to-value, median of N)
+  dp=2   : 2 processes pinned to cores 0/1, jax.distributed (gloo over
+           localhost) + (dp=2, tp=1) pod mesh, run_batch_sharded over
+           2 sequences - one per process, ZERO collectives (tp=1 psums
+           are no-ops), exactly the per-chip-independent execution the
+           pod story relies on
+
+  efficiency = t_solo / t_dp2   (1.0 = perfectly linear: each pinned
+           process does the same per-core work in the same time)
+
+The serving variant (--pool) measures the same isolation for the
+serving workload: solo = one SessionPool(capacity=1) ticking F scans
+on core 0; scaled = two such pools in two pinned processes ticking
+concurrently (operationally how a fleet deploys across hosts: slots
+are independent, so multi-host serving is one pool per host - no
+coordinator needed, matching the zero-collective claim).
+
+Usage:  python scripts/scaling_dp.py [--pool]   # orchestrates both
+        python scripts/scaling_dp.py --solo     # (internal)
+        python scripts/scaling_dp.py --worker I --port P   # (internal)
+
+Every timing materializes outputs on the host (time-to-value).
+CPU-only: never touches the TPU tunnel.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA = "/root/reference/data_20190513/data_f3key/data1"
+FRAMES = 60
+REPEATS = 3
+
+
+def _load(max_frames=FRAMES):
+    import numpy as np
+    from lsdtpu.io import load_dataset
+    from lsdtpu.runtime.artifacts import prepare_map_cached
+    from lsdtpu.runtime.loop import make_map_context, stack_frames
+
+    ds = load_dataset(DATA)
+    lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
+                                      backend="oracle")
+    ctx = make_map_context(lines, cache, ds.param.resol, ds.param.ori_x,
+                           ds.param.ori_y, dtype=np.float32)
+    frames = stack_frames(ds, dtype=np.float32, max_frames=max_frames)
+    return frames, ctx
+
+
+def _timed(fn, materialize, repeats=REPEATS):
+    import jax
+    jax.block_until_ready(fn())
+    materialize(fn())
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        materialize(fn())
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
+
+def _pool_run() -> float:
+    """Tick a capacity-1 SessionPool through FRAMES scans; returns the
+    post-warmup wall seconds (the pool steps synchronously: each tick
+    materializes its outputs, so this is already time-to-value)."""
+    import numpy as np
+    from lsdtpu.io import load_dataset
+    from lsdtpu.runtime.artifacts import prepare_map_cached
+    from lsdtpu.runtime.serving import SessionPool
+
+    ds = load_dataset(DATA)
+    lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
+                                      backend="oracle")
+    pool = SessionPool(1, cache.shape)
+    pool.open_session("r", lines, cache, ds.param.resol,
+                      ds.param.ori_x, ds.param.ori_y)
+
+    def tick(f):
+        fr = ds.frames[f]
+        pool.submit_scan("r", fr[:, 0], fr[:, 1], ds.odom[f + 1])
+        return pool.step()
+
+    tick(0)                                      # compile
+    t0 = time.perf_counter()
+    for f in range(1, FRAMES + 1):
+        tick(f)
+    return time.perf_counter() - t0
+
+
+def run_solo(pool: bool) -> None:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 1)
+    import numpy as np
+    from lsdtpu.config import DEFAULT
+    from lsdtpu.runtime.loop import run_sequence
+
+    if pool:
+        print(json.dumps({"solo_ms": _pool_run() * 1e3}), flush=True)
+        return
+    frames, ctx = _load()
+    med = _timed(lambda: run_sequence(frames, ctx, DEFAULT),
+                 lambda o: np.asarray(o["pose"]))
+    print(json.dumps({"solo_ms": med * 1e3}), flush=True)
+
+
+def run_worker(pid: int, port: str, pool: bool) -> None:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 1)
+    import numpy as np
+    from lsdtpu.config import DEFAULT
+    from lsdtpu.runtime.distributed import (globalize_batch, initialize,
+                                            make_pod_mesh)
+
+    if pool:
+        # independent per-process pools: no coordinator at all (the
+        # fleet's multi-host deployment shape)
+        print(json.dumps({"worker": pid, "dp2_ms": _pool_run() * 1e3}),
+              flush=True)
+        return
+
+    initialize(coordinator_address=f"localhost:{port}", num_processes=2,
+               process_id=pid)
+    assert jax.device_count() == 2 and jax.local_device_count() == 1
+    mesh = make_pod_mesh()              # (dp=2, tp=1)
+    assert mesh.devices.shape == (2, 1)
+
+    frames, ctx = _load()
+    from lsdtpu.runtime.loop import MapContext
+    from lsdtpu.runtime.shard import run_batch_sharded
+
+    B = 2
+    bframes = {k: np.stack([v, v]) for k, v in frames.items()}
+    bctx = MapContext(*[np.broadcast_to(np.asarray(v), (B,) +
+                                        np.shape(np.asarray(v)))
+                        for v in (ctx.lines, ctx.lines_mask, ctx.cache,
+                                  ctx.rows, ctx.cols, ctx.resol,
+                                  ctx.ori_x, ctx.ori_y)])
+    gf, gc = globalize_batch(bframes, bctx, mesh)
+
+    def mat(outs):
+        # time-to-value of THIS process's addressable shard
+        return np.asarray(outs["pose"].addressable_shards[0].data)
+
+    med = _timed(lambda: run_batch_sharded(gf, gc, mesh, DEFAULT), mat)
+    print(json.dumps({"worker": pid, "dp2_ms": med * 1e3}), flush=True)
+
+
+def orchestrate(pool: bool) -> int:
+    me = os.path.abspath(__file__)
+    env = dict(os.environ)
+
+    def run(args, cores):
+        return subprocess.Popen(
+            ["taskset", "-c", cores, sys.executable, me] + args,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env)
+
+    extra = ["--pool"] if pool else []
+
+    # 1. solo baseline pinned to core 0
+    p = run(["--solo"] + extra, "0")
+    out, err = p.communicate(timeout=900)
+    if p.returncode != 0:
+        print(err[-2000:], file=sys.stderr)
+        return 1
+    solo = json.loads(out.strip().splitlines()[-1])["solo_ms"]
+    print(f"solo (1 proc, core 0): {solo:.1f} ms / {FRAMES} frames",
+          file=sys.stderr)
+
+    # 2. two pinned processes, one dp row each
+    port = str(12300 + os.getpid() % 1000)
+    ws = [run(["--worker", str(i), "--port", port] + extra, str(i))
+          for i in range(2)]
+    results = {}
+    for i, w in enumerate(ws):
+        out, err = w.communicate(timeout=900)
+        if w.returncode != 0:
+            print(f"worker {i} failed:\n{err[-2000:]}", file=sys.stderr)
+            return 1
+        results[i] = json.loads(out.strip().splitlines()[-1])["dp2_ms"]
+    dp2 = max(results.values())
+    eff = solo / dp2
+    rec = {
+        "workload": "serving-pool" if pool else "dp-batch",
+        "frames": FRAMES, "solo_ms": round(solo, 1),
+        "dp2_worker_ms": {k: round(v, 1) for k, v in results.items()},
+        "dp2_ms": round(dp2, 1),
+        "sequences_dp2": 2,
+        "scaling_efficiency": round(eff, 3),
+        "method": "time-to-value, taskset-pinned cores"
+                  + ("" if pool else ", gloo coordinator"),
+    }
+    print(json.dumps(rec))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--solo", action="store_true")
+    ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("--port", default="12345")
+    ap.add_argument("--pool", action="store_true")
+    args = ap.parse_args(argv)
+    if args.solo:
+        run_solo(args.pool)
+        return 0
+    if args.worker is not None:
+        run_worker(args.worker, args.port, args.pool)
+        return 0
+    return orchestrate(args.pool)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
