@@ -68,13 +68,16 @@ class MatchConfig:
     # chunk sizes for the scorer's (candidate x pixel) gather sweep.
     # The TPU gather is ELEMENT-bound (~134M gathered cells/s measured
     # on the v5e), so right-sizing chunks to the live candidate/pixel
-    # counts is the first-order throughput lever: 64x512 turns a
-    # tracking frame (~40 live candidates, ~1-2k live pixels) into
-    # 1x2-4 chunks instead of a 256x2048 sweep.  Pixel chunking only
+    # counts is the first-order throughput lever.  Pixel chunking only
     # engages under score_dynamic_chunks (live pixels are prefix-
-    # compacted); 0 disables it.
-    score_chunk: int = 64
-    score_pixel_chunk: int = 512
+    # compacted); 0 disables it.  Defaults re-tuned on the real v5e in
+    # round 4 (time-to-value sweep, docs/RESULTS.md r4): data1 tracking
+    # frames carry ~23-43 live candidates and ~0.8-1.8k live pixels, so
+    # 40x192 pads ~15% instead of 64x512's ~70%; finer chunks lose to
+    # per-iteration loop overhead (128: +24 ms), coarser to padding
+    # (512: +67 ms on the 279-frame rollout).
+    score_chunk: int = 40
+    score_pixel_chunk: int = 192
     # exact candidate pruning (round 4; new execution strategy, bitwise-
     # identical outputs): before the exact (candidate x pixel) gather
     # sweep, every live candidate gets a PROVABLE lower bound on its

@@ -31,6 +31,7 @@ import os
 import statistics
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -139,8 +140,97 @@ def main(argv=None) -> int:
         record("match", lambda: match_roll(frames, fs_all),
                lambda o: np.asarray(o["pose"]))
 
-    if "ukf" in only:
+    if "floor" in only:
+        # the cost of a 279-iteration lax.scan that only reduces its
+        # per-frame inputs - the per-iteration overhead floor any
+        # frame-sequential stage pays on this backend
         @jax.jit
+        def floor_roll(frames):
+            def step(c, fr):
+                return c, jnp.sum(fr["ranges"]) + jnp.sum(fr["angles"])
+            _c, outs = jax.lax.scan(step, 0, frames)
+            return outs
+
+        record("floor", lambda: floor_roll(frames),
+               lambda o: np.asarray(o))
+
+    if "cells" in only or "rdp" in only:
+        # featurize sub-stages (scan/featurize.py internals): gap
+        # clustering alone, then + the RDP fixpoint - the deltas
+        # attribute the featurize cost between clustering, RDP rounds,
+        # and extraction+pixels+compaction (= feat - rdp)
+        import importlib
+        sfeat = importlib.import_module("lsdtpu.scan.featurize")
+
+        def _prep(fr):
+            ranges, angles, valid, n = (fr["ranges"], fr["angles"],
+                                        fr["valid"], fr["n"])
+            xs = ranges * jnp.cos(angles)
+            ys = ranges * jnp.sin(angles)
+            return ranges, valid, n, xs, ys
+
+        if "cells" in only:
+            @jax.jit
+            def cells_roll(frames):
+                def step(c, fr):
+                    ranges, valid, n, xs, ys = _prep(fr)
+                    cid, rot = sfeat._segment_cells(
+                        ranges, xs, ys, valid, n, cfg.rdp.least_point)
+                    return c, (jnp.sum(cid), rot)
+                _c, outs = jax.lax.scan(step, 0, frames)
+                return outs
+
+            record("cells", lambda: cells_roll(frames),
+                   lambda o: np.asarray(o[0]))
+
+        if "rdp" in only:
+            @jax.jit
+            def rdp_roll(frames):
+                def step(c, fr):
+                    ranges, valid, n, xs, ys = _prep(fr)
+                    N = ranges.shape[0]
+                    idx = jnp.arange(N)
+                    cid, rot = sfeat._segment_cells(
+                        ranges, xs, ys, valid, n, cfg.rdp.least_point)
+                    r_abs = jnp.mod(idx + rot, jnp.maximum(n, 1))
+                    r_abs = jnp.where(idx < n, r_abs, idx)
+                    cid_r = cid[r_abs]
+                    in_cell = cid_r < N
+                    prev_id = jnp.concatenate([jnp.array([N]), cid_r[:-1]])
+                    next_id = jnp.concatenate([cid_r[1:], jnp.array([N])])
+                    start = in_cell & (cid_r != prev_id)
+                    end = in_cell & (cid_r != next_id)
+                    marker = sfeat._rdp_rounds(
+                        xs[r_abs], ys[r_abs], ranges[r_abs],
+                        start | end, in_cell & ~start & ~end,
+                        cfg.rdp.thre_line, max_rounds=N)
+                    return c, jnp.sum(marker)
+                _c, outs = jax.lax.scan(step, 0, frames)
+                return outs
+
+            record("rdp", lambda: rdp_roll(frames),
+                   lambda o: np.asarray(o))
+
+    for name in only:
+        # cfg variants of the full rollout, e.g. cfg:prefeaturize=true
+        # or cfg:match.score_pixel_chunk=256 (cli.apply_overrides syntax)
+        if not name.startswith("cfg:"):
+            continue
+        from lsdtpu.cli import apply_overrides
+        vcfg = apply_overrides(cfg, name[4:].split(";"))
+        vctx = ctx
+        if vcfg.match.cache_dtype != cfg.match.cache_dtype:
+            # cache compression is a make_map_context-time choice
+            vctx = make_map_context(
+                lines, cache, ds.param.resol, ds.param.ori_x,
+                ds.param.ori_y, dtype=np.float32,
+                cache_dtype=vcfg.match.cache_dtype,
+                z_occ_max_dis=vcfg.map.z_occ_max_dis)
+        record(name, lambda vcfg=vcfg, vctx=vctx: run_sequence(
+            frames, vctx, vcfg), lambda o: np.asarray(o["pose"]))
+
+    if "ukf" in only:
+        @partial(jax.jit, static_argnums=0)
         def ukf_roll(n):
             x0 = jnp.asarray(fukf.RESET_X, jnp.float32)
             P0 = jnp.asarray(fukf.RESET_P, jnp.float32)
