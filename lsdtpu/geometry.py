@@ -81,6 +81,57 @@ def wrap_deg(ang):
     return w - 180.0
 
 
+def masked_compact_rows(values, mask, out_size: int, n_live_rows=None,
+                        row_chunk: int = 8, fill=0):
+    """Chunked-scatter masked_compact over a row-structured grid.
+
+    values: (R, C, ...) rows of candidate entries; mask: (R, C).
+    Bitwise-identical to masked_compact(values.reshape(-1, ...),
+    mask.ravel(), out_size), but the scatter runs in row_chunk-row
+    chunks under a fori_loop whose trip count covers only rows up to
+    ``n_live_rows`` (a traced upper bound on rows containing ANY live
+    entry; None derives it from the mask with one reduce - no prefix
+    precondition).  On TPU the scatter is element-bound, so skipping
+    dead rows is the win: a frame with ~10 live rows of a 64-row grid
+    scatters ~2 chunks instead of the whole grid.
+
+    The last chunk's start is clamped (R need not divide by
+    row_chunk); slot positions and values are sliced with the SAME
+    clamped start, so overlap rows re-scatter identical (slot, value)
+    pairs - idempotent, never desynchronized (review r4 finding #1).
+
+    Returns (compacted (out_size, ...), out_mask, count) - count is the
+    raw live total (count > out_size flags overflow; excess rows are
+    dropped, matching masked_compact)."""
+    import jax
+
+    R, C = mask.shape[:2]
+    row_chunk = min(row_chunk, R)
+    flat = mask.reshape(-1)
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    count = jnp.sum(flat.astype(jnp.int32))
+    slot = jnp.where(flat & (pos < out_size), pos, out_size).reshape(R, C)
+    if n_live_rows is None:
+        live_any = jnp.any(mask, axis=1)
+        n_live_rows = jnp.max(jnp.where(live_any, jnp.arange(R), -1)) + 1
+    n_chunks = -(-R // row_chunk)
+    trips = jnp.clip((n_live_rows + row_chunk - 1) // row_chunk,
+                     0, n_chunks)
+    trailing = values.shape[2:]
+
+    def body(c, buf):
+        r0 = jnp.minimum(c * row_chunk, R - row_chunk)
+        sl = jax.lax.dynamic_slice_in_dim(slot, r0, row_chunk, 0)
+        vl = jax.lax.dynamic_slice_in_dim(values, r0, row_chunk, 0)
+        return buf.at[sl.reshape(-1)].set(
+            vl.reshape((row_chunk * C,) + trailing))
+
+    buf = jnp.full((out_size + 1,) + trailing, fill, dtype=values.dtype)
+    buf = jax.lax.fori_loop(0, trips, body, buf)
+    out_mask = jnp.arange(out_size) < count
+    return buf[:out_size], out_mask, count
+
+
 def masked_compact(values, mask, out_size: int, fill=0):
     """Stable compaction: gather rows of `values` where mask, preserving
     order, into a fixed-size buffer (out_size, ...).  Returns

@@ -47,36 +47,60 @@ from lsdtpu.mapprep import nfa as mnfa
 PI = math.pi
 
 
-def _dilate8(mask):
-    """8-neighbor dilation via 3x3 window OR."""
+def _dilate8(mask, axis=None):
+    """8-neighbor dilation via 3x3 window OR.
+
+    With `axis` the mask is a row block of a sharded field: each device
+    first receives its neighbors' boundary rows (one ppermute up, one
+    down; edge devices receive zeros - ppermute's unaddressed targets),
+    so a wave crosses block boundaries exactly like it crosses any
+    other row."""
     m = mask.astype(jnp.float32)
+    if axis:
+        n = jax.lax.axis_size(axis)
+        up = jax.lax.ppermute(m[-1:], axis,
+                              [(i, i + 1) for i in range(n - 1)])
+        dn = jax.lax.ppermute(m[:1], axis,
+                              [(i + 1, i) for i in range(n - 1)])
+        m = jnp.concatenate([up, m, dn], axis=0)
     out = jax.lax.reduce_window(m, jnp.float32(0), jax.lax.max, (3, 3),
                                 (1, 1), "SAME")
+    if axis:
+        out = out[1:-1]
     return out > 0.0
 
 
-def _grow(seed_y, seed_x, seed_deg, deg_thre, ban, deg_map):
+def _grow(seed_y, seed_x, seed_deg, deg_thre, ban, deg_map,
+          row0=0, axis=None):
     """Wave-synchronous region growth (reference: RegionGrower,
     myLSD.cpp:491-590).  Only ban==True blocks growth (usedMap==1; NFA-
     rejected value-2 pixels regrow, myLSD.cpp:534).
-    Returns (cur mask, reg_deg)."""
+    Returns (cur mask, reg_deg).  row0/axis: row-block sharding - the
+    per-wave dilation exchanges boundary rows (_dilate8) and the
+    circular-mean sums psum, so every device carries the same running
+    angle and the wave fixpoint is global."""
     H, W = deg_map.shape
-    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) + row0
     xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     cur0 = (yy == seed_y) & (xx == seed_x)
     state = dict(cur=cur0, sin=jnp.sin(seed_deg), cos=jnp.cos(seed_deg),
                  deg=jnp.arctan2(jnp.sin(seed_deg), jnp.cos(seed_deg)),
                  changed=jnp.array(True))
 
+    def rsum(x):
+        s = jnp.sum(x)
+        return jax.lax.psum(s, axis) if axis else s
+
     def body(s):
-        cand = _dilate8(s["cur"]) & ~s["cur"] & ~ban
+        cand = _dilate8(s["cur"], axis) & ~s["cur"] & ~ban
         dif = jnp.abs(s["deg"] - deg_map)
         dif = jnp.where(dif > PI * 1.5, jnp.abs(dif - 2 * PI), dif)
         acc = cand & (dif < deg_thre)
-        sin = s["sin"] + jnp.sum(jnp.where(acc, jnp.sin(deg_map), 0.0))
-        cos = s["cos"] + jnp.sum(jnp.where(acc, jnp.cos(deg_map), 0.0))
+        n_acc = rsum(acc)
+        sin = s["sin"] + rsum(jnp.where(acc, jnp.sin(deg_map), 0.0))
+        cos = s["cos"] + rsum(jnp.where(acc, jnp.cos(deg_map), 0.0))
         return dict(cur=s["cur"] | acc, sin=sin, cos=cos,
-                    deg=jnp.arctan2(sin, cos), changed=jnp.any(acc))
+                    deg=jnp.arctan2(sin, cos), changed=n_acc > 0)
 
     out = jax.lax.while_loop(lambda s: s["changed"], body, state)
     return out["cur"], out["deg"]
@@ -194,11 +218,49 @@ def line_segment_detector(map_gray: jnp.ndarray, sca: float = 0.3,
     new_row, new_col = gauss.shape
     deg_thre = ang_thre / 180.0 * PI
     mag, deg_map, prebanned, max_grad = gradient_field(gauss, deg_thre)
-    H, W = mag.shape
 
     log_nt = 5 * (math.log10(new_row) + math.log10(new_col)) / 2.0
+    lines, n = _seed_walk(mag, deg_map, prebanned, max_grad, log_nt,
+                          sca, ang_thre, den_thre, pse_bin, max_lines,
+                          growth, nfa_kernel, dt)
+    mask = jnp.arange(max_lines) < n
+    infos = geo.lines_info_from_endpoints(lines[:, 0], lines[:, 1],
+                                          lines[:, 2], lines[:, 3])
+    infos = jnp.where(mask[:, None], infos, 0.0)
+    return infos, mask, n, remapped
+
+
+def _seed_walk(mag, deg_map, prebanned, max_grad, log_nt, sca, ang_thre,
+               den_thre, pse_bin, max_lines, growth, nfa_kernel, dt,
+               row0=0, axis=None, n_rows=None):
+    """The sequential-seeded region extraction loop (myLSD.cpp:219-272)
+    shared by the single-device and row-block-sharded drivers.
+
+    row0/axis/n_rows (lsd_sharded): mag/deg_map/prebanned are this
+    device's row block starting at global row row0 of a field whose
+    TRUE height is n_rows (rows past it are padding, prebanned).  The
+    seed walk itself stays sequential (exactly like the reference);
+    every inner full-field pass - seed argmax, wave growth, moments,
+    NFA counts - reduces block-locally and combines with one
+    psum/pmin/pmax, and the per-wave dilation exchanges boundary rows,
+    so all scalar state (and hence the emitted line list) is replicated
+    across devices.  Returns (lines (max_lines, 4) endpoint buffer,
+    n_lines raw count)."""
+    if growth == "fifo" and axis:
+        raise ValueError("growth='fifo' is inherently sequential (a "
+                         "global FIFO queue, myLSD.cpp:491-590) and "
+                         "unsupported under map-block sharding; use "
+                         "growth='wave'")
+    H, W = mag.shape
     reg_thre = -log_nt / math.log10(ang_thre / 180.0)
     ali_pro = ang_thre / 180.0
+    deg_thre = ang_thre / 180.0 * PI
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) + row0
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+
+    def rsum(x):
+        s = jnp.sum(x)
+        return jax.lax.psum(s, axis) if axis else s
 
     # stable-descending seed priority (quantized bin, row-major ties)
     zoom = pse_bin / max_grad
@@ -220,46 +282,65 @@ def line_segment_detector(map_gray: jnp.ndarray, sca: float = 0.3,
         return is_seed & ~s["seed_done"] & (s["used"] == 0)
 
     def cond(s):
-        return jnp.any(live_mask(s))
+        return rsum(live_mask(s)) > 0
 
     def body(s):
         # next seed: highest live bin, row-major-first among ties (the
         # stable-descending walk; two-stage argmax avoids a composite
-        # integer key that could overflow on large maps)
+        # integer key that could overflow on large maps).  Sharded: the
+        # global bin max is a pmax, and the first GLOBAL flat index
+        # among local firsts is a pmin - identical to the single-device
+        # first-argmax because row-major order restricted to a block is
+        # order-isomorphic to the global order.
         live = live_mask(s)
         qmax = jnp.max(jnp.where(live, q, -1.0))
-        flat = jnp.argmax((live & (q == qmax)).reshape(-1))
-        sy = (flat // W).astype(jnp.int32)
-        sx = (flat % W).astype(jnp.int32)
-        seed_done = s["seed_done"].at[sy, sx].set(True)
+        if axis:
+            qmax = jax.lax.pmax(qmax, axis)
+        cand = live & (q == qmax)
+        flat = jnp.argmax(cand.reshape(-1))
+        if axis:
+            gflat = (row0 + flat // W) * W + flat % W
+            big = jnp.int32(2147483647)
+            gflat = jnp.where(jnp.any(cand), gflat.astype(jnp.int32), big)
+            gflat = jax.lax.pmin(gflat, axis)
+            sy = gflat // W
+            sx = gflat % W
+        else:
+            sy = (flat // W).astype(jnp.int32)
+            sx = (flat % W).astype(jnp.int32)
+        seed_done = s["seed_done"] | ((yy == sy) & (xx == sx))
 
         ban = s["used"] == 1
-        seed_deg = deg_map[sy, sx]
+        seed_deg = mrect.field_at(deg_map, sy, sx, row0, axis)
         fifo = growth == "fifo"
         if fifo:
             cur, reg_deg, _qy, _qx, size = _grow_fifo(
                 sy, sx, seed_deg, deg_thre, ban, deg_map)
         else:
-            cur, reg_deg = _grow(sy, sx, seed_deg, deg_thre, ban, deg_map)
-            size = jnp.sum(cur)
+            cur, reg_deg = _grow(sy, sx, seed_deg, deg_thre, ban,
+                                 deg_map, row0, axis)
+            size = rsum(cur)
 
         def process(_):
             rec = mrect.rectangle_converter(cur, reg_deg, mag, ali_pro,
-                                            deg_thre)
+                                            deg_thre, row0, axis)
 
             def grow_fn(cen_deg, new_thre):
                 if fifo:
                     return _grow_fifo(sy, sx, cen_deg, new_thre, ban,
                                       deg_map)
-                return _grow(sy, sx, cen_deg, new_thre, ban, deg_map)
+                return _grow(sy, sx, cen_deg, new_thre, ban, deg_map,
+                             row0, axis)
 
             ok, cur2, _rd, rec2 = mrect.refiner(
                 sx.astype(dt), sy.astype(dt), reg_deg, cur, rec, mag,
-                deg_map, den_thre, deg_thre, grow_fn, exact_order=fifo)
+                deg_map, den_thre, deg_thre, grow_fn, exact_order=fifo,
+                row0=row0, axis=axis)
 
             def validated(_):
-                log_nfa, rec3 = mnfa.rectangle_improver(rec2, deg_map,
-                                                        log_nt, nfa_kernel)
+                log_nfa, rec3 = mnfa.rectangle_improver(
+                    rec2, deg_map, log_nt, nfa_kernel,
+                    row0=row0, axis=axis, n_rows=n_rows)
                 accept = log_nfa > 0.0
                 # accepted -> used=1; rejected -> used=2 (regrowable)
                 mark = jnp.where(accept, 1, 2).astype(jnp.int8)
@@ -297,10 +378,5 @@ def line_segment_detector(map_gray: jnp.ndarray, sca: float = 0.3,
                     n_lines=n_lines)
 
     out = jax.lax.while_loop(cond, body, state)
-    n = out["n_lines"]          # RAW count: n > max_lines flags overflow
-    mask = jnp.arange(max_lines) < n
-    e = out["lines"]
-    infos = geo.lines_info_from_endpoints(e[:, 0], e[:, 1], e[:, 2],
-                                          e[:, 3])
-    infos = jnp.where(mask[:, None], infos, 0.0)
-    return infos, mask, n, remapped
+    # RAW count: n > max_lines flags overflow
+    return out["lines"], out["n_lines"]

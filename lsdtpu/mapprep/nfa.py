@@ -82,16 +82,23 @@ def pack_rect_scalars(rec):
                             jnp.stack([rec["deg"], rec["prec"]])])
 
 
-def rectangle_nfa(rec, deg_map, log_nt, kernel: str = "xla"):
+def rectangle_nfa(rec, deg_map, log_nt, kernel: str = "xla",
+                  row0=0, axis=None, n_rows=None):
     """-log10 NFA (reference: RectangleNFACalculator, myLSD.cpp:926-1059).
     rec: dict of traced scalars; deg_map: (H, W); kernel: "xla" or
-    "pallas" (the fused VMEM pass, ops/nfa_pallas.py - same counts)."""
+    "pallas" (the fused VMEM pass, ops/nfa_pallas.py - same counts).
+    row0/axis/n_rows: row-block sharding (mapprep/lsd_sharded) - counts
+    reduce per block and one psum rebuilds the global pair; the
+    binomial tail then runs replicated on every device."""
     sc = pack_rect_scalars(rec)
-    if kernel == "pallas":
+    if kernel == "pallas" and axis is None:
         all_pix, ali_pix = rect_counts_pallas(deg_map, sc)
     else:
         all_pix, ali_pix = rect_counts_math(
-            deg_map, [sc[i] for i in range(N_SCALARS)])
+            deg_map, [sc[i] for i in range(N_SCALARS)], row0, n_rows)
+        if axis:
+            all_pix = jax.lax.psum(all_pix, axis)
+            ali_pix = jax.lax.psum(ali_pix, axis)
     return _binom_tail_nfa(all_pix, ali_pix, rec["p"], log_nt)
 
 
@@ -144,14 +151,16 @@ def _binom_tail_nfa(all_pix, ali_pix, p, log_nt):
                         (all_pix == ali_pix), edge, nontrivial, None)
 
 
-def rectangle_improver(rec, deg_map, log_nt, kernel: str = "xla"):
+def rectangle_improver(rec, deg_map, log_nt, kernel: str = "xla",
+                       row0=0, axis=None, n_rows=None):
     """Greedy NFA improvement (reference: RectangleImprover,
     myLSD.cpp:1061-1158): 5x p/2, 5x wid-0.5, 5x each lateral shift,
     5x p/2, stopping at the first phase that reaches NFA > 0.
     Returns (log_nfa, rec)."""
     delt = 0.5
     delt2 = delt / 2.0
-    log_nfa = rectangle_nfa(rec, deg_map, log_nt, kernel)
+    nfa_kw = dict(row0=row0, axis=axis, n_rows=n_rows)
+    log_nfa = rectangle_nfa(rec, deg_map, log_nt, kernel, **nfa_kw)
 
     def phase(carry, update_fn, gated: bool):
         """Run one 5-iteration improvement phase unless already valid."""
@@ -166,7 +175,8 @@ def rectangle_improver(rec, deg_map, log_nt, kernel: str = "xla"):
                 do = (new["wid"] - delt >= 0.5) if gated else jnp.array(True)
                 new2 = jax.tree.map(
                     lambda a, b: jnp.where(do, a, b), new2, new)
-                cand = rectangle_nfa(new2, deg_map, log_nt, kernel)
+                cand = rectangle_nfa(new2, deg_map, log_nt, kernel,
+                                     **nfa_kw)
                 better = do & (cand > nfa_v)
                 best2 = jax.tree.map(
                     lambda a, b: jnp.where(better, a, b), new2, best)

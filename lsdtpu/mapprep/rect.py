@@ -19,10 +19,43 @@ import jax.numpy as jnp
 PI = math.pi
 
 
-def _coords(shape):
-    yy = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+def _coords(shape, row0=0):
+    """Global pixel coordinates; row0 is this device's first global row
+    when the field is row-block-sharded (lsd_sharded), else 0."""
+    yy = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
     xx = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     return yy, xx
+
+
+def _rsum(x, axis):
+    """Full-field sum: jnp.sum of the local block, psum'd over the map
+    axis when sharded - every device then carries the GLOBAL scalar, so
+    all downstream control flow stays replicated."""
+    s = jnp.sum(x)
+    return jax.lax.psum(s, axis) if axis else s
+
+
+def _rmin(x, axis):
+    m = jnp.min(x)
+    return jax.lax.pmin(m, axis) if axis else m
+
+
+def _rmax(x, axis):
+    m = jnp.max(x)
+    return jax.lax.pmax(m, axis) if axis else m
+
+
+def field_at(field, iy, ix, row0=0, axis=None):
+    """field[iy, ix] with GLOBAL row index iy under row-block sharding:
+    the owning device reads its block, everyone else contributes 0, and
+    a psum broadcasts the value."""
+    if not axis:
+        return field[iy, ix]
+    H = field.shape[0]
+    ly = iy - row0
+    mine = (ly >= 0) & (ly < H)
+    v = jnp.where(mine, field[jnp.clip(ly, 0, H - 1), ix], 0.0)
+    return jax.lax.psum(v, axis)
 
 
 def _wrap_pi(d):
@@ -33,23 +66,27 @@ def _wrap_pi(d):
     return w - PI
 
 
-def rectangle_converter(cur, seed_deg, mag, ali_pro, deg_thre: float):
+def rectangle_converter(cur, seed_deg, mag, ali_pro, deg_thre: float,
+                        row0=0, axis=None):
     """cur: (H, W) bool region mask; seed_deg: running region angle.
-    Returns rect dict (reference: RectangleConverter, myLSD.cpp:669-734)."""
+    Returns rect dict (reference: RectangleConverter, myLSD.cpp:669-734).
+    row0/axis: global row offset + mesh axis when the field is
+    row-block-sharded (mapprep/lsd_sharded) - every moment then reduces
+    with one psum and the rect scalars are replicated."""
     dt = mag.dtype
-    yy, xx = _coords(cur.shape)
+    yy, xx = _coords(cur.shape, row0)
     xf = xx.astype(dt)
     yf = yy.astype(dt)
     w = jnp.where(cur, mag, 0.0)
-    ws = jnp.sum(w)
-    cen_x = jnp.sum(w * xf) / ws
-    cen_y = jnp.sum(w * yf) / ws
+    ws = _rsum(w, axis)
+    cen_x = _rsum(w * xf, axis) / ws
+    cen_y = _rsum(w * yf, axis) / ws
 
     dxp = xf - cen_x
     dyp = yf - cen_y
-    ixx = jnp.sum(w * dyp * dyp) / ws
-    iyy = jnp.sum(w * dxp * dxp) / ws
-    ixy = -jnp.sum(w * dxp * dyp) / ws
+    ixx = _rsum(w * dyp * dyp, axis) / ws
+    iyy = _rsum(w * dxp * dxp, axis) / ws
+    ixy = -_rsum(w * dxp * dyp, axis) / ws
     lamb = (ixx + iyy - jnp.sqrt((ixx - iyy) ** 2 + 4 * ixy * ixy)) / 2.0
     inertia = jnp.where(jnp.abs(ixx) > jnp.abs(iyy),
                         jnp.arctan2(lamb - ixx, ixy),
@@ -66,10 +103,10 @@ def rectangle_converter(cur, seed_deg, mag, ali_pro, deg_thre: float):
     lx_p = jnp.where(cur, lx, -big)
     wx_m = jnp.where(cur, wx, big)
     wx_p = jnp.where(cur, wx, -big)
-    len_min = jnp.minimum(0.0, jnp.min(lx_m))
-    len_max = jnp.maximum(0.0, jnp.max(lx_p))
-    wid_min = jnp.minimum(0.0, jnp.min(wx_m))
-    wid_max = jnp.maximum(0.0, jnp.max(wx_p))
+    len_min = jnp.minimum(0.0, _rmin(lx_m, axis))
+    len_max = jnp.maximum(0.0, _rmax(lx_p, axis))
+    wid_min = jnp.minimum(0.0, _rmin(wx_m, axis))
+    wid_max = jnp.maximum(0.0, _rmax(wx_p, axis))
     wid = wid_max - wid_min
     return {
         "x1": cen_x + len_min * dxu, "y1": cen_y + len_min * dyu,
@@ -80,8 +117,8 @@ def rectangle_converter(cur, seed_deg, mag, ali_pro, deg_thre: float):
     }
 
 
-def density(cur, rec):
-    n = jnp.sum(cur).astype(rec["x1"].dtype)
+def density(cur, rec, axis=None):
+    n = _rsum(cur, axis).astype(rec["x1"].dtype)
     length = jnp.sqrt((rec["x1"] - rec["x2"]) ** 2 +
                       (rec["y1"] - rec["y2"]) ** 2)
     return n / (length * rec["wid"])
@@ -177,19 +214,20 @@ def radius_reducer_fifo(seed_x, seed_y, seed_deg, qy, qx, n, cur, rec,
 
 
 def radius_reducer(seed_x, seed_y, seed_deg, cur, rec, mag,
-                   den_thre: float, deg_thre: float):
+                   den_thre: float, deg_thre: float, row0=0, axis=None):
     """Shrink radius x0.75 dropping far pixels until dense enough
     (reference: RegionRadiusReducer, myLSD.cpp:736-802).
     Returns (ok, cur, rec)."""
     dt = mag.dtype
-    yy, xx = _coords(cur.shape)
+    yy, xx = _coords(cur.shape, row0)
     d_seed = jnp.sqrt((xx.astype(dt) - seed_x) ** 2 +
                       (yy.astype(dt) - seed_y) ** 2)
 
     rad1 = jnp.sqrt((seed_x - rec["x1"]) ** 2 + (seed_y - rec["y1"]) ** 2)
     rad2 = jnp.sqrt((seed_x - rec["x2"]) ** 2 + (seed_y - rec["y2"]) ** 2)
     state = dict(cur=cur, rec=rec, rad=jnp.maximum(rad1, rad2),
-                 den=density(cur, rec), alive=jnp.sum(cur) >= 2)
+                 den=density(cur, rec, axis),
+                 alive=_rsum(cur, axis) >= 2)
 
     def cond(s):
         return s["alive"] & (s["den"] < den_thre)
@@ -197,13 +235,15 @@ def radius_reducer(seed_x, seed_y, seed_deg, cur, rec, mag,
     def body(s):
         rad = s["rad"] * 0.75
         keep = s["cur"] & (d_seed <= rad)
-        n = jnp.sum(keep)
+        n = _rsum(keep, axis)
         alive = n >= 2
-        rec2 = rectangle_converter(keep, seed_deg, mag, rec["p"], deg_thre)
+        rec2 = rectangle_converter(keep, seed_deg, mag, rec["p"],
+                                   deg_thre, row0, axis)
         rec2 = jax.tree.map(lambda a, b: jnp.where(alive, a, b),
                             rec2, s["rec"])
         return dict(cur=keep, rec=rec2, rad=rad,
-                    den=jnp.where(alive, density(keep, rec2), jnp.inf),
+                    den=jnp.where(alive, density(keep, rec2, axis),
+                                  jnp.inf),
                     alive=alive)
 
     out = jax.lax.while_loop(cond, body, state)
@@ -212,7 +252,7 @@ def radius_reducer(seed_x, seed_y, seed_deg, cur, rec, mag,
 
 def refiner(seed_x, seed_y, seed_deg, cur, rec, mag, deg_map,
             den_thre: float, deg_thre: float, grow_fn,
-            exact_order: bool = False):
+            exact_order: bool = False, row0=0, axis=None):
     """Re-estimate angle tolerance from pixels near the seed and regrow
     (reference: Refiner, myLSD.cpp:804-880).  grow_fn(cen_deg,
     new_thre) -> (cur, reg_deg) regrows from the seed at center angle
@@ -223,37 +263,48 @@ def refiner(seed_x, seed_y, seed_deg, cur, rec, mag, deg_map,
     (radius_reducer_fifo) - the bit-parity path.
     Returns (ok, cur, reg_deg, rec)."""
     dt = mag.dtype
-    den0 = density(cur, rec)
+    den0 = density(cur, rec, axis)
 
     def no_refine(_):
         return jnp.array(True), cur, seed_deg, rec
 
     def do_refine(_):
-        yy, xx = _coords(cur.shape)
+        yy, xx = _coords(cur.shape, row0)
         d_seed = jnp.sqrt((xx.astype(dt) - seed_x) ** 2 +
                           (yy.astype(dt) - seed_y) ** 2)
-        iy = jnp.clip(seed_y.astype(jnp.int32), 0, cur.shape[0] - 1)
-        ix = jnp.clip(seed_x.astype(jnp.int32), 0, cur.shape[1] - 1)
-        cen_deg = deg_map[iy, ix]
+        if axis:
+            # seed_y is a GLOBAL row: the owner broadcasts deg_map there
+            cen_deg = field_at(deg_map, seed_y.astype(jnp.int32),
+                               jnp.clip(seed_x.astype(jnp.int32), 0,
+                                        cur.shape[1] - 1),
+                               row0, axis)
+        else:
+            iy = jnp.clip(seed_y.astype(jnp.int32), 0, cur.shape[0] - 1)
+            ix = jnp.clip(seed_x.astype(jnp.int32), 0, cur.shape[1] - 1)
+            cen_deg = deg_map[iy, ix]
         near = cur & (d_seed < rec["wid"])
         dif = _wrap_pi(deg_map - cen_deg)
         difm = jnp.where(near, dif, 0.0)
-        dif_sum = jnp.sum(difm)
-        squ_sum = jnp.sum(difm * difm)
-        n = jnp.sum(near).astype(dt)
+        dif_sum = _rsum(difm, axis)
+        squ_sum = _rsum(difm * difm, axis)
+        n = _rsum(near, axis).astype(dt)
         mean = dif_sum / n
         new_thre = 2.0 * jnp.sqrt((squ_sum - 2 * mean * dif_sum) / n +
                                   mean * mean)
         if exact_order:
+            if axis:
+                raise ValueError(
+                    "exact_order (fifo) growth is inherently sequential "
+                    "and unsupported under map-block sharding")
             cur2, reg_deg2, qy2, qx2, n2 = grow_fn(cen_deg, new_thre)
             size2 = n2
         else:
             cur2, reg_deg2 = grow_fn(cen_deg, new_thre)
-            size2 = jnp.sum(cur2)
+            size2 = _rsum(cur2, axis)
 
         def grown(_):
             rec2 = rectangle_converter(cur2, reg_deg2, mag, rec["p"],
-                                       deg_thre)
+                                       deg_thre, row0, axis)
 
             def dense(_):
                 return jnp.array(True), cur2, reg_deg2, rec2
@@ -266,10 +317,10 @@ def refiner(seed_x, seed_y, seed_deg, cur, rec, mag, deg_map,
                 else:
                     ok, cur3, rec3 = radius_reducer(
                         seed_x, seed_y, reg_deg2, cur2, rec2, mag,
-                        den_thre, deg_thre)
+                        den_thre, deg_thre, row0, axis)
                 return ok, cur3, reg_deg2, rec3
 
-            return jax.lax.cond(density(cur2, rec2) >= den_thre,
+            return jax.lax.cond(density(cur2, rec2, axis) >= den_thre,
                                 dense, sparse, None)
 
         def tiny(_):

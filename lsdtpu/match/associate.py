@@ -108,37 +108,6 @@ jax.tree_util.register_pytree_node(
     lambda _, c: Candidates(*c))
 
 
-def _compact_gate_indices(gate, out_size: int, row_chunk: int = 8):
-    """Order-preserving compaction of the flat indices of gate-true
-    slots - bitwise geo.masked_compact(arange, gate.ravel(), out_size),
-    but the scatter runs in row chunks under a fori_loop bounded by the
-    LAST gate-true row (no prefix precondition: one reduce finds it).
-    Tracking frames gate ~10 live scan-line rows of the S-cap 64, so
-    ~2 chunks of the scatter execute instead of the full (S, M*4) grid
-    - the grid scatter was the candgen cost on TPU (round-4
-    attribution)."""
-    S, R = gate.shape
-    flat = gate.reshape(-1)
-    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
-    count = jnp.sum(flat.astype(jnp.int32))
-    slot = jnp.where(flat & (pos < out_size), pos, out_size).reshape(S, R)
-    live_any = jnp.any(gate, axis=1)
-    rmax = jnp.max(jnp.where(live_any, jnp.arange(S), -1)) + 1
-    n_chunks = -(-S // row_chunk)
-    trips = jnp.clip((rmax + row_chunk - 1) // row_chunk, 0, n_chunks)
-
-    def body(c, buf):
-        r0 = c * row_chunk
-        sl = jax.lax.dynamic_slice_in_dim(slot, r0, row_chunk, 0)
-        vals = r0 * R + jnp.arange(row_chunk * R, dtype=jnp.int32)
-        return buf.at[sl.reshape(-1)].set(vals)
-
-    buf = jnp.zeros((out_size + 1,), jnp.int32)
-    buf = jax.lax.fori_loop(0, trips, body, buf)
-    out_mask = jnp.arange(out_size) < count
-    return buf[:out_size], out_mask, count
-
-
 def generate_candidates(scan_lines, scan_mask, map_lines, map_mask,
                         lidar_pose, last_pose, max_candidates: int,
                         ignore_scan_length: float = 40.0,
@@ -209,9 +178,13 @@ def generate_candidates(scan_lines, scan_mask, map_lines, map_mask,
     # costs ~9x more memory traffic).  Padded slots must be ZERO, not
     # row 0's values: degenerate padded lines yield NaN directions, and
     # a NaN pose row poisons the weighted-mean sum (0*NaN) even at
-    # weight 0 - seen on all-padding tp shards.
-    comp_idx, mask, count = _compact_gate_indices(gate.reshape(S, M * 4),
-                                                  max_candidates)
+    # weight 0 - seen on all-padding tp shards.  The chunked-scatter
+    # compaction's trip count covers only scan-line rows with any
+    # gate-true slot (tracking frames: ~10 of the S-cap - the grid
+    # scatter was the candgen cost on TPU, round-4 attribution).
+    comp_idx, mask, count = geo.masked_compact_rows(
+        jnp.arange(S * M * 4, dtype=jnp.int32).reshape(S, M * 4),
+        gate.reshape(S, M * 4), max_candidates)
     take = lambda a: jnp.where(mask, a.reshape(-1)[comp_idx],  # noqa: E731
                                0.0)
     ang_c = take(ang_diff)

@@ -50,15 +50,21 @@ def _c_int(v, up: bool):
     return jnp.where(ok, r, INT_MIN)
 
 
-def rect_counts_math(deg_map, s):
+def rect_counts_math(deg_map, s, row0=0, n_rows=None):
     """The per-pixel rectangle test + the two count reductions
     (reference: myLSD.cpp:973-1016).  `s` is a sequence of N_SCALARS
     traced scalars in the packed layout above.  Shared verbatim by the
     XLA path (mapprep/nfa.py) and the Pallas kernel body so the two
-    backends agree bitwise."""
+    backends agree bitwise.
+
+    row0/n_rows (sharded map prep, mapprep/lsd_sharded): deg_map is a
+    row block starting at global row row0, and rows at/after the TRUE
+    global height n_rows are padding that must not count (the
+    unsharded image simply ends there)."""
     dt = deg_map.dtype
     shape = deg_map.shape
-    yy = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(dt)
+    yi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
+    yy = yi.astype(dt)
     xx = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(dt)
     (x_start, x_len, vx0, vx1, _vx2, vx3, vy0, vy1, _vy2, vy3,
      k0, k1, k2, k3, deg, prec) = s
@@ -68,6 +74,8 @@ def rect_counts_math(deg_map, s):
     y_high = _c_int(jnp.where(xx < vx1, vy0 + (xx - vx0) * k0,
                               vy1 + (xx - vx1) * k1), up=False)
     inside = col_ok & (yy >= y_low) & (yy <= y_high)
+    if n_rows is not None:
+        inside = inside & (yi < n_rows)
     deg_dif = jnp.abs(deg - deg_map)
     deg_dif = jnp.where(deg_dif > PI * 1.5, jnp.abs(deg_dif - 2 * PI),
                         deg_dif)

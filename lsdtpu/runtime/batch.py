@@ -30,6 +30,8 @@ from lsdtpu.runtime.loop import MapContext, run_sequence, stack_frames
 def run_batch(frames, ctxs: MapContext, cfg: EngineConfig = DEFAULT):
     """frames: pytree with leading (B, F, ...) axes; ctxs: MapContext with
     leading (B, ...) axes.  Returns outputs with (B, F, ...) axes."""
+    from lsdtpu.runtime.loop import vmapped_cfg
+    cfg = vmapped_cfg(cfg)
     return jax.vmap(lambda fr, cx: run_sequence(fr, cx, cfg))(frames, ctxs)
 
 
@@ -66,7 +68,11 @@ def stack_batch(datasets: Sequence, map_arts: Sequence, cfg=DEFAULT,
     mask = np.zeros((len(map_arts), M), bool)
     cache = np.full((len(map_arts), H, W), 0.0, dtype)
     for i, (li, ca) in enumerate(map_arts):
-        k = min(len(li), M)
+        k = len(li)
+        if k > M:
+            # caps are never silent (ShapeConfig contract)
+            raise ValueError(f"map {i} has {k} lines > "
+                             f"shapes.max_map_lines={M}; raise the cap")
         lines[i, :k] = li[:k]
         mask[i, :k] = True
         # pad with the cap so out-of-map reads behave like far cells

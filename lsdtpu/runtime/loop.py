@@ -151,6 +151,24 @@ def prepare_coarse(ctx: MapContext, cfg: EngineConfig = DEFAULT):
     return assoc.coarse_field(ctx.cache, cfg.match.prune_block)
 
 
+def vmapped_cfg(cfg: EngineConfig) -> EngineConfig:
+    """Config variant for steps that run under jax.vmap (batched
+    rollouts, the serving pool, sharded/temporal runners).
+
+    A lax.cond whose predicate is batched lowers to select_n and
+    executes BOTH branches, so the prune_min_live gate would run the
+    plain AND the pruned scorer on every frame of every vmapped path
+    (round-4 review finding).  Force the single always-pruned path
+    instead: under vmap the dynamic chunk loops run to the batch-max
+    trip count anyway, so bounding the worst (relocking) lane's sweep
+    with the pruning bound helps the whole batch.  Outputs are
+    identical either way (tests/test_prune.py)."""
+    if not cfg.match.prune or cfg.match.prune_min_live == 0:
+        return cfg
+    return dataclasses.replace(cfg, match=dataclasses.replace(
+        cfg.match, prune_min_live=0))
+
+
 def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
                 cfg: EngineConfig = DEFAULT,
                 tp_axis: Optional[str] = None,
@@ -445,9 +463,16 @@ def make_map_context(map_lines: np.ndarray, map_cache: np.ndarray,
     if max_map_lines is None:
         max_map_lines = max(64, -(-int(map_lines.shape[0]) // 64) * 64)
     M = max_map_lines
+    k = int(map_lines.shape[0])
+    if k > M:
+        # caps are never silent (ShapeConfig contract): a truncated
+        # line set would make the scorer silently disagree with the
+        # prepared map
+        raise ValueError(f"map has {k} lines > max_map_lines={M}; "
+                         "raise the cap (or pass max_map_lines=None "
+                         "to auto-size)")
     lines = np.zeros((M, 10), dtype)
     mask = np.zeros((M,), bool)
-    k = min(map_lines.shape[0], M)
     lines[:k] = map_lines[:k]
     mask[:k] = True
     return MapContext(

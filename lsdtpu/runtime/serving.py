@@ -40,6 +40,8 @@ def _pool_step(states: TrackState, inputs, ctxs: MapContext, active,
     """Vmapped localization step; inactive slots keep their state.
     coarse: optional (B, ch, cw) per-slot pruning fields, maintained by
     the pool alongside the slot caches (loop-invariant across ticks)."""
+    from lsdtpu.runtime.loop import vmapped_cfg
+    cfg = vmapped_cfg(cfg)
 
     if coarse is None:
         def one(state, inp, ctx):

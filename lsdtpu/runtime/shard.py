@@ -144,6 +144,8 @@ def _runner(mesh: Mesh, cfg: EngineConfig, kind: str,
         return fn
     axis_kw = dict(tp_axis=TP_AXIS) if kind == "tp" else \
         dict(mp_axis=MP_AXIS)
+    from lsdtpu.runtime.loop import vmapped_cfg
+    cfg = vmapped_cfg(cfg)      # one_seq runs under vmap (see loop.py)
 
     def device_fn(fr, cx):
         # local shapes: fr (B/dp, F, ...); tp: cx.lines (B/dp, M/tp, 10);

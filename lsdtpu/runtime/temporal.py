@@ -108,6 +108,9 @@ def _sp_runner(mesh: Mesh, cfg: EngineConfig, has_reset: bool):
     if fn is not None:
         return fn
 
+    from lsdtpu.runtime.loop import vmapped_cfg
+    cfg = vmapped_cfg(cfg)      # one_seg runs under vmap (see loop.py)
+
     def device_fn(fr, ctx):
         # fr: (S/n_dev, L+W, ...); ctx replicated
         def one_seg(fr1):

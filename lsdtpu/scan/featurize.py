@@ -242,43 +242,6 @@ def _segment_pixels(x1, y1, x2, y2, x_lim, y_lim, t):
     return xx, yy, valid, n_steps
 
 
-def _compact_pixels(px_x, px_y, px_ok, n_live_segs, max_pixels: int,
-                    seg_chunk: int = 8):
-    """Order-preserving compaction of the (S, T) pixel grid into a
-    (max_pixels, 2) prefix buffer - bitwise geo.masked_compact on the
-    flattened grid, but the scatter runs in seg_chunk-row chunks under
-    a fori_loop whose trip count follows the LIVE segment count
-    (lines_mask is a prefix: masked_compact output).  A typical frame
-    has ~10-20 live segments of the S=64 cap, so ~2 chunks of the
-    scatter execute instead of all S*T elements - the full-grid
-    scatter was the largest single featurize cost on TPU (round-4
-    attribution).  Skipped rows hold only dead pixels (px_ok already
-    includes lines_mask), whose slots all point at the overflow dump."""
-    S, T = px_ok.shape
-    dtype = px_x.dtype
-    ok = px_ok.reshape(-1)
-    pos = jnp.cumsum(ok.astype(jnp.int32)) - 1
-    count = jnp.sum(ok.astype(jnp.int32))
-    slot = jnp.where(ok & (pos < max_pixels), pos, max_pixels)
-    vals = jnp.stack([px_x.reshape(-1), px_y.reshape(-1)], axis=-1)
-    slot = slot.reshape(S, T)
-    vals = vals.reshape(S, T, 2)
-    n_chunks = -(-S // seg_chunk)
-    live_chunks = jnp.clip((n_live_segs + seg_chunk - 1) // seg_chunk,
-                           0, n_chunks)
-
-    def body(c, buf):
-        r0 = c * seg_chunk
-        sl = jax.lax.dynamic_slice_in_dim(slot, r0, seg_chunk, 0)
-        vl = jax.lax.dynamic_slice_in_dim(vals, r0, seg_chunk, 0)
-        return buf.at[sl.reshape(-1)].set(vl.reshape(-1, 2))
-
-    buf = jnp.zeros((max_pixels + 1, 2), dtype)
-    buf = jax.lax.fori_loop(0, live_chunks, body, buf)
-    out_mask = jnp.arange(max_pixels) < count
-    return buf[:max_pixels], out_mask, count
-
-
 @partial(jax.jit, static_argnames=("least_point", "thre_line", "least_dist",
                                    "max_lines", "max_pixels", "max_steps"))
 def featurize(ranges, angles, valid, n, resol, ori_x, ori_y,
@@ -361,9 +324,15 @@ def featurize(ranges, angles, valid, n, resol, ori_x, ori_y,
         lambda e, m: _segment_pixels(e[0], e[1], e[2], e[3],
                                      x_lim, y_lim, t)
     )(seg_ends, lines_mask)
+    # chunked-scatter compaction: the trip count follows the live
+    # segment count (lines_mask is a prefix), so ~2 chunks execute for
+    # a typical frame's ~10-20 live segments of the S cap - the full
+    # (S, T) grid scatter was the largest single featurize cost on TPU
+    # (round-4 attribution)
     px_ok = px_ok & lines_mask[:, None]
-    pix, pixels_mask, n_pix = _compact_pixels(
-        px_x, px_y, px_ok, jnp.sum(lines_mask), max_pixels)
+    pix, pixels_mask, n_pix = geo.masked_compact_rows(
+        jnp.stack([px_x, px_y], axis=-1), px_ok, max_pixels,
+        n_live_rows=jnp.sum(lines_mask))
     # a live segment longer than the static step grid would rasterize
     # only its first max_steps pixels - flag it, never truncate silently
     step_overflow = jnp.any(lines_mask & (n_steps > max_steps))

@@ -57,3 +57,25 @@ def test_lines_info_matches_oracle_builder():
         want = olsd._line_info_from_endpoints(x1, y1, x2, y2, 10**9, 10**9)
         # XLA may fuse multiply-adds: allow last-ulp differences
         np.testing.assert_allclose(got[i], want, atol=1e-9, rtol=1e-12)
+
+
+def test_masked_compact_rows_matches_masked_compact():
+    """Chunked-scatter compaction == flat masked_compact for row counts
+    that do and do NOT divide the chunk (clamped last chunk kept in
+    sync - round-4 review finding #1), including tiny R < chunk."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for R, C, K in [(64, 24, 128), (12, 52, 64), (2, 9, 16),
+                    (60, 16, 256), (7, 3, 8)]:
+        for density in (0.0, 0.03, 0.4, 1.0):
+            mask = rng.random((R, C)) < density
+            vals = rng.integers(0, 1000, (R, C, 2)).astype(np.int32)
+            a, am, ac = geo.masked_compact_rows(
+                jnp.asarray(vals), jnp.asarray(mask), K)
+            b, bm, bc = geo.masked_compact(
+                jnp.asarray(vals.reshape(-1, 2)),
+                jnp.asarray(mask.reshape(-1)), K)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_array_equal(np.asarray(am), np.asarray(bm))
+            assert int(ac) == int(bc)

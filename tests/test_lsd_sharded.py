@@ -1,0 +1,58 @@
+"""Row-block-sharded LSD (mapprep/lsd_sharded) vs the single-device
+"wave" tier: identical line count and matching endpoints (block-psum
+reduce-order noise only) on an 8-virtual-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lsdtpu.io import load_dataset
+from lsdtpu.mapprep.lsd import line_segment_detector
+from lsdtpu.mapprep.lsd_sharded import (line_segment_detector_sharded,
+                                        make_mesh_lsd)
+
+
+def test_sharded_lsd_matches_single_device():
+    ds = load_dataset("/root/reference/data")
+    mv = np.asarray(ds.map_value)
+    l1, m1, n1, r1 = line_segment_detector(jnp.asarray(mv))
+    l2, m2, n2, r2 = line_segment_detector_sharded(jnp.asarray(mv))
+    assert int(n1) == int(n2)
+    n = int(n1)
+    assert n > 10
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    # endpoints: identical up to psum-vs-sum reduction order
+    np.testing.assert_allclose(np.asarray(l1)[:n, 4:8],
+                               np.asarray(l2)[:n, 4:8],
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_sharded_lsd_uneven_rows():
+    """A map whose downsampled height does not divide the mesh: the
+    padded rows are prebanned and NFA-masked, so results still match."""
+    ds = load_dataset("/root/reference/data")
+    mv = np.asarray(ds.map_value)[:411]          # odd height on purpose
+    mesh = make_mesh_lsd(4)
+    l1, _m1, n1, _r1 = line_segment_detector(jnp.asarray(mv))
+    l2, _m2, n2, _r2 = line_segment_detector_sharded(jnp.asarray(mv),
+                                                     mesh=mesh)
+    assert int(n1) == int(n2)
+    n = int(n1)
+    assert n > 5
+    np.testing.assert_allclose(np.asarray(l1)[:n, 4:8],
+                               np.asarray(l2)[:n, 4:8],
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_sharded_lsd_rejects_fifo():
+    from lsdtpu.mapprep.lsd import _seed_walk
+
+    mag = jnp.ones((8, 8))
+    with pytest.raises(ValueError, match="fifo"):
+        # tracing the fifo walk with an axis must fail loudly
+        jax.eval_shape(
+            lambda: _seed_walk(mag, mag, mag > 2, jnp.float32(1.0), 5.0,
+                               1.0, 22.5, 0.7, 1024, 16, "fifo", "xla",
+                               jnp.float32, row0=0, axis="mp"))
