@@ -63,9 +63,15 @@ class ScanFeatures:
 
 
 def gap_threshold(ranges):
-    idx = jnp.searchsorted(jnp.asarray(_GAP_BOUNDS, ranges.dtype), ranges,
-                           side='left')
-    return jnp.asarray(_GAP_VALUES, ranges.dtype)[idx]
+    """Piecewise-constant lookup as a pure elementwise select chain:
+    with side='left' semantics idx = #{bounds < r}, so
+    t = V[0]; t = where(r > B_i, V[i+1], t) yields the EXACT table
+    value (bitwise the searchsorted+gather form, which lowered to a
+    small gather chain per frame; 9 fused selects instead)."""
+    t = jnp.full_like(ranges, float(_GAP_VALUES[0]))
+    for b, v in zip(_GAP_BOUNDS, _GAP_VALUES[1:]):
+        t = jnp.where(ranges > float(b), jnp.asarray(v, ranges.dtype), t)
+    return t
 
 
 def _segment_cells(ranges, xs, ys, valid, n, least_point: int):

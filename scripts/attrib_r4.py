@@ -140,6 +140,37 @@ def main(argv=None) -> int:
         record("match", lambda: match_roll(frames, fs_all),
                lambda o: np.asarray(o["pose"]))
 
+    for name in only:
+        # per-chip execution modes (the RESULTS mode table): batchN =
+        # run_batch over N clones of the sequence; temporalN = one-chip
+        # temporal split into N segments
+        if name.startswith("batch"):
+            B = int(name[5:])
+            from lsdtpu.runtime.batch import run_batch
+            from lsdtpu.runtime.loop import MapContext
+            bframes = jax.tree.map(
+                lambda x: np.broadcast_to(x, (B,) + x.shape).copy(),
+                frames)
+            bctx = MapContext(*[jnp.broadcast_to(jnp.asarray(v),
+                                                 (B,) + jnp.shape(v))
+                                for v in (ctx.lines, ctx.lines_mask,
+                                          ctx.cache, ctx.rows, ctx.cols,
+                                          ctx.resol, ctx.ori_x,
+                                          ctx.ori_y)])
+            record(name,
+                   lambda bframes=bframes, bctx=bctx: run_batch(
+                       bframes, bctx, cfg),
+                   lambda o: np.asarray(o["pose"]))
+        elif name.startswith("temporal"):
+            S = int(name[8:])
+            from lsdtpu.runtime.temporal import (make_mesh_sp,
+                                                 run_sequence_temporal)
+            mesh = make_mesh_sp(1)
+            record(name,
+                   lambda mesh=mesh, S=S: run_sequence_temporal(
+                       frames, ctx, mesh, cfg, n_segments=S),
+                   lambda o: np.asarray(o["pose"]))
+
     if "floor" in only:
         # the cost of a 279-iteration lax.scan that only reduces its
         # per-frame inputs - the per-iteration overhead floor any
