@@ -45,7 +45,7 @@ def _add_cfg_args(p):
 
 def _add_common(p):
     p.add_argument("--data", required=True, help="dataset directory")
-    p.add_argument("--mapprep", choices=("tpu", "oracle"), default="tpu")
+    p.add_argument("--mapprep", choices=("tpu", "oracle", "tpu-sharded"), default="tpu")
     p.add_argument("--f64", action="store_true",
                    help="float64 parity mode (slow on TPU)")
     p.add_argument("--frames", type=int, default=None)
@@ -582,7 +582,7 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("batch", help="batched multi-sequence rollout")
     p.add_argument("--data", nargs="+", required=True)
-    p.add_argument("--mapprep", choices=("tpu", "oracle"), default="tpu")
+    p.add_argument("--mapprep", choices=("tpu", "oracle", "tpu-sharded"), default="tpu")
     p.add_argument("--concat", action="store_true",
                    help="corpus replay: ONE lax.scan over all sequences "
                         "(must share the map) instead of a vmap batch")
@@ -598,7 +598,7 @@ def main(argv=None) -> int:
                                      "multi-session serving pool")
     p.add_argument("--data", nargs="+", required=True,
                    help="one dataset directory per robot")
-    p.add_argument("--mapprep", choices=("tpu", "oracle"), default="tpu")
+    p.add_argument("--mapprep", choices=("tpu", "oracle", "tpu-sharded"), default="tpu")
     p.add_argument("--frames", type=int, default=None)
     _add_cfg_args(p)
     p.set_defaults(fn=cmd_serve)

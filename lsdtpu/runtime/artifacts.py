@@ -36,6 +36,27 @@ def _key(map_value: np.ndarray, resol: float, z: float,
     return h.hexdigest()[:20]
 
 
+def _prepare_map_sharded(map_value, resol, z_occ_max_dis, nfa_kernel,
+                         max_lines: int = 1024):
+    """Giant-map prep: block-built distance field (bit-exact;
+    mapprep/distance_sharded) + row-block-sharded LSD seed walk (wave
+    tier; mapprep/lsd_sharded) over all available devices."""
+    from lsdtpu.mapprep.distance_sharded import create_map_cache_sharded
+    from lsdtpu.mapprep.lsd_sharded import line_segment_detector_sharded
+    from lsdtpu.mapprep.pipeline import MapArtifacts
+
+    cache = create_map_cache_sharded(map_value, float(resol),
+                                     float(z_occ_max_dis))
+    lines, mask, n, _rm = line_segment_detector_sharded(
+        np.asarray(map_value), max_lines=max_lines,
+        nfa_kernel=nfa_kernel)
+    if int(n) > max_lines:
+        raise ValueError(f"map produced {int(n)} lines > "
+                         f"max_lines={max_lines}; raise the cap")
+    return MapArtifacts(lines_info=np.asarray(lines)[np.asarray(mask)],
+                        map_cache=np.asarray(cache))
+
+
 def prepare_map_cached(map_value: np.ndarray, resol: float,
                        z_occ_max_dis: float = 1.0, backend: str = "tpu",
                        cache_dir: str = DEFAULT_CACHE_DIR,
@@ -43,8 +64,11 @@ def prepare_map_cached(map_value: np.ndarray, resol: float,
                        ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (lines_info, map_cache), computing at most once per map.
 
-    backend: "tpu" (mapprep, on-device) or "oracle" (numpy reference
-    semantics, f64); growth: LSD region-growth order (tpu backend only;
+    backend: "tpu" (mapprep, on-device), "oracle" (numpy reference
+    semantics, f64), or "tpu-sharded" (giant maps: the distance field
+    block-built bit-exact + the LSD seed walk with its inner passes
+    row-block-sharded over all devices - wave tier only; growth is
+    ignored); growth: LSD region-growth order (tpu backend only;
     "fifo" = bit-exact reference acceptance order); nfa_kernel: "xla" or
     "pallas" (tpu backend only; identical artifacts)."""
     path = os.path.join(cache_dir,
@@ -56,6 +80,9 @@ def prepare_map_cached(map_value: np.ndarray, resol: float,
         from lsdtpu.mapprep import prepare_map
         art = prepare_map(map_value, resol, z_occ_max_dis=z_occ_max_dis,
                           growth=growth, nfa_kernel=nfa_kernel)
+    elif backend == "tpu-sharded":
+        art = _prepare_map_sharded(map_value, resol, z_occ_max_dis,
+                                   nfa_kernel)
     elif backend == "oracle":
         from lsdtpu.oracle import driver as odrv
         art = odrv.prepare_map(map_value, resol,

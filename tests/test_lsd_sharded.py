@@ -56,3 +56,27 @@ def test_sharded_lsd_rejects_fifo():
             lambda: _seed_walk(mag, mag, mag > 2, jnp.float32(1.0), 5.0,
                                1.0, 22.5, 0.7, 1024, 16, "fifo", "xla",
                                jnp.float32, row0=0, axis="mp"))
+
+
+def test_prepare_map_cached_tpu_sharded(tmp_path):
+    """The artifacts plumbing for giant-map prep: backend='tpu-sharded'
+    produces a cache bit-equal to the single-device build and the
+    sharded wave line set, and round-trips through the disk cache."""
+    from lsdtpu.mapprep.distance import create_map_cache
+    from lsdtpu.runtime.artifacts import prepare_map_cached
+
+    ds = load_dataset("/root/reference/data")
+    mv = np.asarray(ds.map_value)
+    lines, cache = prepare_map_cached(mv, ds.param.resol,
+                                      backend="tpu-sharded",
+                                      cache_dir=str(tmp_path))
+    ref_cache = np.asarray(create_map_cache(jnp.asarray(mv),
+                                            float(ds.param.resol)))
+    np.testing.assert_array_equal(cache, ref_cache)
+    assert lines.shape[0] > 10 and lines.shape[1] == 10
+    # warm cache round-trip
+    lines2, cache2 = prepare_map_cached(mv, ds.param.resol,
+                                        backend="tpu-sharded",
+                                        cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(lines, lines2)
+    np.testing.assert_array_equal(cache, cache2)
