@@ -299,12 +299,15 @@ def _seed_walk(mag, deg_map, prebanned, max_grad, log_nt, sca, ang_thre,
         cand = live & (q == qmax)
         flat = jnp.argmax(cand.reshape(-1))
         if axis:
-            gflat = (row0 + flat // W) * W + flat % W
+            # lexicographic (global row, col) pmin pair - NOT a
+            # composite flat key, which would overflow int32 at giant
+            # downsampled fields (> 2^31 cells)
             big = jnp.int32(2147483647)
-            gflat = jnp.where(jnp.any(cand), gflat.astype(jnp.int32), big)
-            gflat = jax.lax.pmin(gflat, axis)
-            sy = gflat // W
-            sx = gflat % W
+            has = jnp.any(cand)
+            gy = jnp.where(has, (row0 + flat // W).astype(jnp.int32), big)
+            gx = jnp.where(has, (flat % W).astype(jnp.int32), big)
+            sy = jax.lax.pmin(gy, axis)
+            sx = jax.lax.pmin(jnp.where(gy == sy, gx, big), axis)
         else:
             sy = (flat // W).astype(jnp.int32)
             sx = (flat % W).astype(jnp.int32)

@@ -69,7 +69,6 @@ def _runner(mesh: Mesh, sca, sig, ang_thre, den_thre, pse_bin,
     fn = _RUNNERS.get(key)
     if fn is not None:
         return fn
-    n_dev = mesh.devices.size
 
     def device_fn(mag, deg_map, prebanned, max_grad, log_nt, n_rows):
         dt = mag.dtype

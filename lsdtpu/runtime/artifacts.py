@@ -27,6 +27,11 @@ def _key(map_value: np.ndarray, resol: float, z: float,
          backend: str, growth: str, nfa_kernel: str) -> str:
     h = hashlib.sha256()
     h.update(map_value.tobytes())
+    if backend == "tpu-sharded":
+        # the sharded builder is wave-tier only and ignores growth -
+        # normalize so a fifo-default config doesn't cache wave
+        # artifacts under a fifo-tagged key (review r4 finding)
+        growth = "wave"
     tag = "" if growth == "wave" else f"|{growth}"
     # nfa_kernel is NOT keyed: both backends produce bitwise-identical
     # artifacts (ops/nfa_pallas.py), so the cache is shared on purpose.

@@ -8,7 +8,7 @@ fifo lands within seconds the bitwise tier is an affordable default.
 Times the full jitted offline stage (distance field + LSD) to VALUE,
 uncached.  Usage:
 
-  python scripts/prep_bench.py [--cpu] [--maps data1,f4data1,map1,...]
+  python scripts/prep_bench.py [--cpu] [--maps data1,f4data1,data]
   [--growth wave,fifo]
 
 Run on-chip only with nothing else using the tunnel; the fifo path is
@@ -51,14 +51,18 @@ def main(argv=None) -> int:
 
     results = {}
     for name in args.maps.split(","):
+        if name not in MAPS:
+            raise SystemExit(f"unknown map {name!r}; valid: "
+                             f"{', '.join(MAPS)}")
         ds = load_dataset(MAPS[name])
-        mv = jnp_map = np.asarray(ds.map_value)
+        mv = np.asarray(ds.map_value)
         print(f"# {name}: map {mv.shape}", file=sys.stderr, flush=True)
+        # the distance field is growth-independent: build+time it once
+        t0 = time.perf_counter()
+        cache = create_map_cache(mv, ds.param.resol)
+        np.asarray(cache)
+        t_cache = time.perf_counter() - t0
         for growth in args.growth.split(","):
-            t0 = time.perf_counter()
-            cache = create_map_cache(mv, ds.param.resol)
-            np.asarray(cache)
-            t_cache = time.perf_counter() - t0
             t0 = time.perf_counter()
             lines, mask, n, _rm = line_segment_detector(
                 mv, growth=growth)

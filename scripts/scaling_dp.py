@@ -190,7 +190,6 @@ def orchestrate(pool: bool) -> int:
         solos[core] = json.loads(out.strip().splitlines()[-1])["solo_ms"]
         print(f"solo (1 proc, core {core}): {solos[core]:.1f} ms / "
               f"{FRAMES} frames", file=sys.stderr)
-    solo = solos["0"]
 
     # 2. two pinned processes, one dp row each
     port = str(12300 + os.getpid() % 1000)
