@@ -80,3 +80,35 @@ def test_prepare_map_cached_tpu_sharded(tmp_path):
                                         cache_dir=str(tmp_path))
     np.testing.assert_array_equal(lines, lines2)
     np.testing.assert_array_equal(cache, cache2)
+
+
+def test_sharded_lsd_fuzz_synthetic_maps():
+    """Randomized synthetic occupancy maps (rooms + wall noise):
+    sharded == single-device wave line sets - guards the collective
+    algebra (psum moments, pmin seed pairs, ppermute halo waves)
+    against future drift on structures the bundled maps don't cover
+    (regions crossing many block boundaries, near-empty blocks)."""
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        H, W = int(rng.integers(96, 200)), int(rng.integers(96, 200))
+        occ = np.full((H, W), 255, np.uint8)
+        # a few axis-aligned wall segments + speckle
+        for _ in range(int(rng.integers(3, 7))):
+            y, x = int(rng.integers(8, H - 8)), int(rng.integers(8, W - 8))
+            ln = int(rng.integers(20, max(H, W)))
+            if rng.random() < 0.5:
+                occ[y, x:min(W - 1, x + ln)] = 1
+            else:
+                occ[y:min(H - 1, y + ln), x] = 1
+        sp = rng.random((H, W)) < 0.002
+        occ[sp] = 1
+        l1, _m1, n1, _ = line_segment_detector(jnp.asarray(occ),
+                                               max_lines=128)
+        l2, _m2, n2, _ = line_segment_detector_sharded(
+            jnp.asarray(occ), max_lines=128, mesh=make_mesh_lsd(8))
+        assert int(n1) == int(n2), (trial, int(n1), int(n2))
+        k = int(n1)
+        if k:
+            np.testing.assert_allclose(
+                np.asarray(l1)[:k, 4:8], np.asarray(l2)[:k, 4:8],
+                rtol=1e-4, atol=1e-3, err_msg=f"trial {trial}")
