@@ -85,6 +85,21 @@ class MatchConfig:
     # (512: +67 ms on the 279-frame rollout).
     score_chunk: int = 40
     score_pixel_chunk: int = 192
+    # EXPERIMENTAL (round 4, off by default): windowed scoring - the
+    # scorer gathers from a per-frame window of the field cut around
+    # last_pose instead of the full map.  Exact by construction: every
+    # tracking-frame pixel lands within (max_esti_dist + scan radius)
+    # of last_pose (the HMM gate bounds the transformed lidar pose,
+    # rigidity bounds pixel offsets), and a scalar per-frame cond
+    # falls back to the full field whenever that bound does not fit
+    # the window (relock frames, long scans, map smaller than the
+    # window).  Measured on the bench data it always falls back
+    # (data1 scans reach ~517 px from the lidar) and the hoped-for
+    # gather-rate win does not exist for the scorer's coherent access
+    # pattern anyway (docs/RESULTS.md r4) - kept for short-range /
+    # memory-constrained deployments.  Window side length in px;
+    # 0 = off.
+    score_window: int = 0
     # exact candidate pruning (round 4; new execution strategy, bitwise-
     # identical outputs): before the exact (candidate x pixel) gather
     # sweep, every live candidate gets a PROVABLE lower bound on its

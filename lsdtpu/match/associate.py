@@ -37,23 +37,30 @@ from lsdtpu import geometry as geo
 PI = math.pi
 
 U16_MAX = 65535
+U8_MAX = 255
 
 
 def quantize_cache(map_cache, cache_dtype: str, z_occ_max_dis: float = 1.0,
                    float_dtype=jnp.float32):
-    """Optionally compress the distance field for VMEM residency.
+    """Optionally compress the distance field for capacity (VMEM/cache
+    residency of bigger maps).
 
-    The scorer is gather-bound with the field VMEM-resident
-    (docs/DESIGN.md speed-of-light); halving the element size doubles
-    the map area that stays on-chip before spilling to HBM (or needing
-    the mp map-block sharding axis).  Modes:
+    Compression is THROUGHPUT-NEUTRAL on the bench workload - measured
+    for u16 (438 vs 437 ms) and u8 (364 vs 346 ms, the convert even
+    costs a little): the v5e gather-rate cliff at ~1.3-1.6 MB of table
+    bytes exists for RANDOM indices (~100 vs ~65 M elem/s), but the
+    scorer's indices are segment-coherent and already ride cache
+    locality on the full f32 field (docs/RESULTS.md r4).  Modes:
 
       "f32"  - float at `float_dtype` (exact; default)
       "bf16" - bfloat16 (2 B/cell, ~3 decimal digits)
       "u16"  - fixed-point round(d / z * 65535) (2 B/cell, resolution
                z/65535 ~ 15 um at z=1 m - 256x finer than bf16)
+      "u8"   - fixed-point round(d / z * 255) (1 B/cell, resolution
+               z/255 ~ 3.9 mm at z=1 m - a sixth of a map cell at
+               0.025 m/px; 4x the map area per byte of f32)
 
-    Cells at/above the cap map to the top code in both compressed modes,
+    Cells at/above the cap map to the top code in the compressed modes,
     preserving the reference's cap-penalty semantics (CalcScore,
     myFA.cpp:381: d >= z adds the fixed penalty, so only the at-cap
     PREDICATE must survive compression, not the cap value itself)."""
@@ -74,6 +81,10 @@ def quantize_cache(map_cache, cache_dtype: str, z_occ_max_dis: float = 1.0,
         q = jnp.round(jnp.clip(jnp.asarray(map_cache, jnp.float32)
                                / z_occ_max_dis, 0.0, 1.0) * U16_MAX)
         return q.astype(jnp.uint16)
+    if cache_dtype == "u8":
+        q = jnp.round(jnp.clip(jnp.asarray(map_cache, jnp.float32)
+                               / z_occ_max_dis, 0.0, 1.0) * U8_MAX)
+        return q.astype(jnp.uint8)
     raise ValueError(f"unknown cache_dtype {cache_dtype!r}")
 
 
@@ -82,6 +93,9 @@ def _dequant(vals, dt, z_occ_max_dis):
     if vals.dtype == jnp.uint16:
         at_cap = vals == U16_MAX
         return vals.astype(dt) * (z_occ_max_dis / U16_MAX), at_cap
+    if vals.dtype == jnp.uint8:
+        at_cap = vals == U8_MAX
+        return vals.astype(dt) * (z_occ_max_dis / U8_MAX), at_cap
     v = vals.astype(dt)
     return v, v >= z_occ_max_dis
 
@@ -210,7 +224,11 @@ def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
                      prune_accept: float = None,
                      prune_block: int = 16,
                      prune_group: int = 16,
-                     prune_min_live: int = 0) -> jnp.ndarray:
+                     prune_min_live: int = 0,
+                     window: int = 0,
+                     window_center=None,
+                     scan_radius=None,
+                     window_gate: float = 60.0) -> jnp.ndarray:
     """Score every candidate against the mapCache prior
     (reference: CalcScore, myFA.cpp:357-396).
 
@@ -221,6 +239,20 @@ def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
     small tracking-frame sweeps take the plain path (the bound would
     cost more than it saves there), big relock sweeps take the pruned
     path - rollout outputs are identical either way.
+
+    window > 0 (EXPERIMENTAL, config match.score_window) with
+    window_center (last_pose[:2]) and scan_radius (max live-pixel
+    distance from the rounded lidar pose): the plain path gathers from
+    a (window, window) cut of the field around the center instead of
+    the whole map - identical outputs, because every candidate passed
+    the HMM gate (its transformed lidar pose is within window_gate of
+    the center, myFA.cpp:330) and rigidity bounds each pixel within
+    scan_radius of that pose, so a per-frame scalar cond takes the
+    window only when window_gate + scan_radius + margin fits inside
+    half the window (else: the full-field path; relock frames always
+    fall back via the center's -1 sentinel).  The win is the v5e
+    gather-rate cliff at ~1.3-1.6 MB of table bytes (RESULTS.md r4):
+    a 768x768 u16 window sits on the fast side of it.
 
     pixels: (P, 2) int32 scan-local pixel coords, pixels_mask: (P,).
     PRECONDITION (with ``dynamic_chunks``, the default): pixels_mask
@@ -272,27 +304,64 @@ def score_candidates(cand: Candidates, pixels, pixels_mask, map_cache,
                 valid_ratio=valid_ratio, chunk=chunk,
                 pixel_chunk=pixel_chunk, dynamic_chunks=dynamic_chunks,
                 obstacle_tolerance=obstacle_tolerance,
-                obstacle_min_dist=obstacle_min_dist)
+                obstacle_min_dist=obstacle_min_dist,
+                window=window, window_center=window_center,
+                scan_radius=scan_radius, window_gate=window_gate)
 
         return jax.lax.cond(cand.count >= prune_min_live, pruned, plain)
-    pad_rows, _pad_cols = map_cache.shape
+    pad_rows, pad_cols = map_cache.shape
     if rows is None:
         rows = pad_rows
     if cols is None:
-        cols = map_cache.shape[1]
+        cols = pad_cols
     dt = cand.ca.dtype
-    sum_d, n_valid, sum_far, n_far = score_candidates_partial(
-        cand, pixels, pixels_mask, map_cache, 0, rows, cols,
-        z_occ_max_dis=z_occ_max_dis, max_dist_penalty=max_dist_penalty,
-        chunk=chunk, pixel_chunk=pixel_chunk,
-        dynamic_chunks=dynamic_chunks,
-        obstacle_min_dist=obstacle_min_dist)
     n_all = jnp.sum(pixels_mask).astype(dt)
-    return finalize_scores(cand, sum_d, n_valid, n_all,
-                           sum_far=sum_far, n_far=n_far,
-                           max_dist_penalty=max_dist_penalty,
-                           valid_ratio=valid_ratio,
-                           obstacle_tolerance=obstacle_tolerance)
+
+    def _finalize(parts):
+        sum_d, n_valid, sum_far, n_far = parts
+        return finalize_scores(cand, sum_d, n_valid, n_all,
+                               sum_far=sum_far, n_far=n_far,
+                               max_dist_penalty=max_dist_penalty,
+                               valid_ratio=valid_ratio,
+                               obstacle_tolerance=obstacle_tolerance)
+
+    def full_field():
+        return _finalize(score_candidates_partial(
+            cand, pixels, pixels_mask, map_cache, 0, rows, cols,
+            z_occ_max_dis=z_occ_max_dis,
+            max_dist_penalty=max_dist_penalty,
+            chunk=chunk, pixel_chunk=pixel_chunk,
+            dynamic_chunks=dynamic_chunks,
+            obstacle_min_dist=obstacle_min_dist))
+
+    use_win = (window and dynamic_chunks and window_center is not None
+               and scan_radius is not None
+               and pad_rows >= window and pad_cols >= window)
+    if not use_win:
+        return full_field()
+
+    def windowed():
+        half = window // 2
+        wy0 = jnp.clip(geo.c_round(window_center[1]).astype(jnp.int32)
+                       - half, 0, pad_rows - window)
+        wx0 = jnp.clip(geo.c_round(window_center[0]).astype(jnp.int32)
+                       - half, 0, pad_cols - window)
+        win = jax.lax.dynamic_slice(map_cache, (wy0, wx0),
+                                    (window, window))
+        return _finalize(score_candidates_partial(
+            cand, pixels, pixels_mask, win, wy0, rows, cols,
+            z_occ_max_dis=z_occ_max_dis,
+            max_dist_penalty=max_dist_penalty,
+            chunk=chunk, pixel_chunk=pixel_chunk,
+            dynamic_chunks=dynamic_chunks,
+            obstacle_min_dist=obstacle_min_dist, col0=wx0))
+
+    # coverage proof margin: |pixel - center| < window_gate +
+    # scan_radius + 0.5 (index rounding); fits demands 2 px of slack
+    # inside the half-window (see docstring soundness argument)
+    need = window_gate + scan_radius + 2.0
+    fits = (window_center[0] != -1) & (need <= window // 2 - 2)
+    return jax.lax.cond(fits, windowed, full_field)
 
 
 def _check_obstacle_min_dist(obstacle_min_dist, z_occ_max_dis):
@@ -310,12 +379,14 @@ def _check_obstacle_min_dist(obstacle_min_dist, z_occ_max_dis):
 
 def _make_part_all(pixels, pixels_mask, cache_block, row0, rows, cols,
                    z_occ_max_dis, max_dist_penalty, pixel_chunk,
-                   dynamic_chunks, obstacle_min_dist, dt):
+                   dynamic_chunks, obstacle_min_dist, dt, col0=0):
     """Build the fused transform+gather+reduce over one candidate chunk:
     part_all(args6) -> (sum_d, n_valid, sum_far, n_far), each (C,).
-    Shared by the chunked partial scorer (score_candidates_partial) and
-    the pruned scorer (score_candidates_pruned) so every path computes
-    bit-identical per-candidate partials (CalcScore, myFA.cpp:357-396)."""
+    Shared by the chunked partial scorer (score_candidates_partial),
+    the pruned scorer (score_candidates_pruned), and the windowed
+    scorer (col0 != 0 rebases columns into a window cut from the
+    field) so every path computes bit-identical per-candidate partials
+    (CalcScore, myFA.cpp:357-396)."""
     block_h, pad_cols = cache_block.shape
     px = pixels[:, 0].astype(dt)
     py = pixels[:, 1].astype(dt)
@@ -330,9 +401,10 @@ def _make_part_all(pixels, pixels_mask, cache_block, row0, rows, cols,
         ix = geo.c_round(tx).astype(jnp.int32)
         iy = geo.c_round(ty).astype(jnp.int32)
         inside = (ix >= 0) & (ix < cols) & (iy >= 0) & (iy < rows) & \
-            (iy >= row0) & (iy < row0 + block_h) & pms[None, :]
+            (iy >= row0) & (iy < row0 + block_h) & \
+            (ix >= col0) & (ix < col0 + pad_cols) & pms[None, :]
         loc = jnp.clip(iy - row0, 0, block_h - 1) * pad_cols + \
-            jnp.clip(ix, 0, pad_cols - 1)
+            jnp.clip(ix - col0, 0, pad_cols - 1)
         vals, at_cap = _dequant(
             jnp.take(cache_flat, loc.reshape(-1)).reshape(loc.shape),
             dt, z_occ_max_dis)
@@ -388,9 +460,11 @@ def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
                              chunk: int = 64,
                              pixel_chunk: int = 512,
                              dynamic_chunks: bool = True,
-                             obstacle_min_dist: float = None):
+                             obstacle_min_dist: float = None,
+                             col0=0):
     """Map-block-sharded partial scoring: this device owns cache rows
-    [row0, row0 + block_h) of the global field.  Returns per-candidate
+    [row0, row0 + block_h) of the global field (and, for the windowed
+    scorer, columns [col0, col0 + block_w)).  Returns per-candidate
     (sum_d, n_valid, sum_far, n_far) partial sums - plain additive
     reductions over the pixel axis, so a psum over the map axis
     reproduces score_candidates exactly (the TPU-native form of
@@ -421,7 +495,7 @@ def score_candidates_partial(cand: Candidates, pixels, pixels_mask,
     part_all, part_chunk = _make_part_all(
         pixels, pixels_mask, cache_block, row0, rows, cols,
         z_occ_max_dis, max_dist_penalty, pixel_chunk, dynamic_chunks,
-        obstacle_min_dist, dt)
+        obstacle_min_dist, dt, col0=col0)
 
     args = (cand.ca, cand.sa, cand.sx, cand.sy, cand.mx, cand.my)
     if n_chunks > 1:
@@ -471,6 +545,8 @@ def coarse_field(map_cache, block: int = 16):
     dequants exactly like a pixel gather (_dequant)."""
     if map_cache.dtype == jnp.uint16:
         init = np.uint16(U16_MAX)
+    elif map_cache.dtype == jnp.uint8:
+        init = np.uint8(U8_MAX)
     else:
         init = np.asarray(np.inf, map_cache.dtype)
     p = jax.lax.reduce_window(map_cache, init, jax.lax.min,

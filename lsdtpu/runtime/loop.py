@@ -162,11 +162,18 @@ def vmapped_cfg(cfg: EngineConfig) -> EngineConfig:
     instead: under vmap the dynamic chunk loops run to the batch-max
     trip count anyway, so bounding the worst (relocking) lane's sweep
     with the pruning bound helps the whole batch.  Outputs are
-    identical either way (tests/test_prune.py)."""
-    if not cfg.match.prune or cfg.match.prune_min_live == 0:
+    identical either way (tests/test_prune.py).  The windowed-scorer
+    cond (match.score_window) is per-frame scalar for the same reason
+    and is likewise disabled under vmap."""
+    changes = {}
+    if cfg.match.prune and cfg.match.prune_min_live != 0:
+        changes["prune_min_live"] = 0
+    if cfg.match.score_window:
+        changes["score_window"] = 0
+    if not changes:
         return cfg
     return dataclasses.replace(cfg, match=dataclasses.replace(
-        cfg.match, prune_min_live=0))
+        cfg.match, **changes))
 
 
 def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
@@ -246,6 +253,16 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
             valid_ratio=cfg.match.valid_ratio,
             interpret=True)
     else:
+        if cfg.match.score_window:
+            # per-frame scan radius for the windowed-scorer coverage
+            # bound: max live-pixel distance from the rounded lidar
+            # pose (the rigid-transform base point)
+            pdx = fs.pixels[:, 0].astype(dt) - lidar_pose[0]
+            pdy = fs.pixels[:, 1].astype(dt) - lidar_pose[1]
+            scan_radius = jnp.max(jnp.where(
+                fs.pixels_mask, jnp.sqrt(pdx * pdx + pdy * pdy), 0.0))
+        else:
+            scan_radius = None
         scores = assoc.score_candidates(
             cand, fs.pixels, fs.pixels_mask, ctx.cache,
             rows=ctx.rows, cols=ctx.cols,
@@ -261,7 +278,11 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
             prune_accept=cfg.match.score_accept,
             prune_block=cfg.match.prune_block,
             prune_group=cfg.match.prune_group,
-            prune_min_live=cfg.match.prune_min_live)
+            prune_min_live=cfg.match.prune_min_live,
+            window=cfg.match.score_window,
+            window_center=state.last_pose[:2],
+            scan_radius=scan_radius,
+            window_gate=cfg.match.max_esti_dist)
     pose_w, fused_score, pose_min, min_score, n_acc = assoc.fuse(
         cand, scores, cfg.match.score_accept, axis_name=tp_axis)
     if cfg.match.polish_pose and mp_axis is not None:
@@ -456,9 +477,10 @@ def make_map_context(map_lines: np.ndarray, map_cache: np.ndarray,
     maps must share one compiled rollout (runtime/batch.stack_batch
     does its own common-cap padding via cfg.shapes.max_map_lines).
 
-    cache_dtype: "f32" (exact, at `dtype`), "bf16", or "u16"
-    (half-size VMEM-resident field - see assoc.quantize_cache;
-    z_occ_max_dis is the u16 fixed-point scale and must match the
+    cache_dtype: "f32" (exact, at `dtype`), "bf16", "u16", or "u8"
+    (compressed fields - see assoc.quantize_cache; u8 additionally
+    puts a data1-size field on the fast side of the v5e gather-rate
+    cliff; z_occ_max_dis is the fixed-point scale and must match the
     cap the cache was built with)."""
     if max_map_lines is None:
         max_map_lines = max(64, -(-int(map_lines.shape[0]) // 64) * 64)

@@ -33,7 +33,7 @@ def main():
     ap.add_argument("--backend", default="cpu",
                     choices=("cpu", "default"))
     ap.add_argument("--cache-dtype", default=None,
-                    choices=("f32", "bf16", "u16"),
+                    choices=("f32", "bf16", "u16", "u8"),
                     help="distance-field compression (match/associate."
                          "py quantize_cache); default: the config's "
                          "match.cache_dtype")

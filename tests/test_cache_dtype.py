@@ -125,3 +125,51 @@ def test_polish_rejects_u16():
         polish_pose(jnp.zeros(3), jnp.zeros(2),
                     jnp.zeros((8, 2), jnp.int32), jnp.ones(8, bool),
                     jnp.zeros((16, 16), jnp.uint16))
+
+
+def test_u8_cap_predicate(map_art):
+    from lsdtpu.match.associate import U8_MAX, quantize_cache
+    z = DEFAULT.map.z_occ_max_dis
+    cache = map_art.map_cache
+    q = np.asarray(quantize_cache(cache, "u8", z))
+    assert q.dtype == np.uint8
+    at_cap = cache >= z
+    assert (q[at_cap] == U8_MAX).all()
+    near = z * (1.0 - 0.5 / U8_MAX)
+    assert (q[~at_cap & (cache < near)] < U8_MAX).all()
+
+
+def test_u8_rollout_tracks(dataset_small, map_art):
+    """u8 (1 B/cell, resolution z/255 ~ 3.9 mm = a sixth of a map
+    cell): tracking must hold with scores within quantization
+    tolerance and poses within a pixel of f32.  A capacity mode (4x
+    the map area per byte of f32); measured throughput-neutral on the
+    bench - the scorer's coherent gathers already ride cache locality
+    (docs/RESULTS.md r4)."""
+    ds = dataset_small
+    ref = _rollout(ds, map_art, "f32")
+    got = _rollout(ds, map_art, "u8")
+    assert np.isfinite(got["score"]).all()
+    np.testing.assert_allclose(got["score"], ref["score"], atol=5e-3)
+    err = np.abs(got["pose"][:, :2] - ref["pose"][:, :2])
+    assert err.max() < 1.0, f"u8 pose drift {err.max()} px"
+
+
+def test_u8_prune_rollout_bitwise_equal(dataset_small, map_art):
+    """Pruning soundness holds on the u8 field (min-pooled codes
+    dequant monotonically): pruned == unpruned, bitwise."""
+    import dataclasses
+    import jax
+    ds = dataset_small
+    ctx = make_map_context(map_art.lines_info, map_art.map_cache,
+                           ds.param.resol, ds.param.ori_x, ds.param.ori_y,
+                           dtype=np.float32, cache_dtype="u8",
+                           z_occ_max_dis=DEFAULT.map.z_occ_max_dis)
+    frames = stack_frames(ds, dtype=np.float32, max_frames=40)
+    cfgs = [dataclasses.replace(
+        DEFAULT, match=dataclasses.replace(DEFAULT.match, prune=p))
+        for p in (True, False)]
+    op, on = (jax.tree.map(np.asarray, run_sequence(frames, ctx, c))
+              for c in cfgs)
+    for k in ("pose", "score", "n_candidates"):
+        np.testing.assert_array_equal(op[k], on[k], err_msg=k)
