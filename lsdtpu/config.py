@@ -63,10 +63,11 @@ class MatchConfig:
     # the kernel docstring and runtime/loop.py)
     score_kernel: str = "xla"
     # distance-field storage for the scorer's gathers: "f32" (exact),
-    # "bf16", or "u16" fixed-point (both 2 B/cell - double the map area
-    # that stays VMEM-resident; u16 resolution is z/65535, 256x finer
-    # than bf16).  Consumed by make_map_context/OnlineLocalizer; the
-    # cap-penalty predicate is preserved exactly (match/associate.py).
+    # "bf16", or fixed-point "u16" (2 B/cell; resolution z/65535, 256x
+    # finer than bf16) / "u8" (1 B/cell; resolution z/255 - quarter the
+    # footprint, throughput-neutral on the v5e, docs/RESULTS.md r4).
+    # Consumed by make_map_context/OnlineLocalizer; the cap-penalty
+    # predicate is preserved exactly (match/associate.py).
     cache_dtype: str = "f32"
     # score only ceil(live_count/chunk) candidate chunks per frame
     # (bounded fori_loop; skipped chunks are fully masked).  Disable to

@@ -117,11 +117,11 @@ def polish_pose(pose, lidar_pose, pixels, pixels_mask, cache,
     if cols is None:
         cols = pad_cols
     dt = pose.dtype
-    if cache.dtype == jnp.uint16:
+    if jnp.issubdtype(cache.dtype, jnp.integer):
         raise ValueError(
-            "polish_pose needs a float distance field; u16 fixed-point "
-            "(match.cache_dtype='u16') carries no scale here - use f32 "
-            "or bf16 with the polish")
+            "polish_pose needs a float distance field; integer fixed-point "
+            "caches (match.cache_dtype='u16'/'u8') carry no scale here - "
+            "use f32 or bf16 with the polish")
     # bf16 caches polish at full precision on the rounded values
     cache_flat = cache.reshape(-1).astype(dt)
     dxp = pixels[:, 0].astype(dt) - lidar_pose[0]

@@ -43,7 +43,11 @@ def normalized_line_direction(sx: float, sy: float, ex: float, ey: float
     elif sx != ex and sy == ey:
         ang = 0.0 if sx < ex else 180.0
     else:
-        ang = _atand((ey - sy) / (ex - sx))
+        # degenerate zero-length lines reach this branch with a 0/0
+        # slope; the reference computes atan(NaN)=NaN the same way
+        # (myFA.cpp:274-305) - keep the value, silence the warning
+        with np.errstate(invalid='ignore', divide='ignore'):
+            ang = _atand((ey - sy) / (ex - sx))
     if ang < 0 and sx > ex:
         return ang + 180
     if ang > 0 and sx > ex:

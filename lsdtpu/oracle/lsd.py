@@ -737,7 +737,12 @@ def _line_info_from_endpoints(x1: float, y1: float, x2: float, y2: float,
         line_im[yy[mark], xx[mark]] = 255
     if collect is not None:
         collect.append(np.stack([xx[mark], yy[mark]], axis=1))
-    return np.array([k, (y1 + y2) / 2.0 - k * (x1 + x2) / 2.0,
+    # vertical lines carry k=+-inf (the reference's raw (y2-y1)/(x2-x1)
+    # slope, myLSD.cpp:358-368); inf*0 in the intercept is then the
+    # reference's own NaN - keep the value, silence the warning
+    with np.errstate(invalid='ignore'):
+        b = (y1 + y2) / 2.0 - k * (x1 + x2) / 2.0
+    return np.array([k, b,
                      cosd(ang), sind(ang),
                      x1, y1, x2, y2,
                      math.sqrt((y2 - y1) ** 2 + (x2 - x1) ** 2), orient],

@@ -234,8 +234,8 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
     elif (cfg.match.score_kernel == "pallas"
           and jax.default_backend() != "tpu"
           and cfg.match.obstacle_tolerance == 0.0
-          and ctx.cache.dtype != jnp.uint16):
-        # (u16 fixed-point caches and the obstacle-tolerant score both
+          and not jnp.issubdtype(ctx.cache.dtype, jnp.integer)):
+        # (u16/u8 fixed-point caches and the obstacle-tolerant score both
         # fall through to the XLA path: the blueprint kernel reads the
         # raw float field and computes the plain reference formula -
         # same fallback pattern as on real TPU)

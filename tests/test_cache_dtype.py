@@ -86,10 +86,13 @@ def test_bf16_cap_predicate_with_unrepresentable_cap():
     assert abs(float(vals[1]) - 0.35) < 0.35 * 0.01
 
 
-def test_u16_with_pallas_score_kernel_falls_back(dataset_small, map_art):
-    """score_kernel='pallas' + u16 cache: the blueprint kernel has no
-    dequant scale, so the loop must route to the XLA path (same
-    fallback pattern as on real TPU) instead of scoring raw codes."""
+@pytest.mark.parametrize("cache_dtype", ["u16", "u8"])
+def test_int_cache_with_pallas_score_kernel_falls_back(
+        dataset_small, map_art, cache_dtype):
+    """score_kernel='pallas' + integer cache (u16/u8): the blueprint
+    kernel has no dequant scale, so the loop must route to the XLA path
+    (same fallback pattern as on real TPU) instead of scoring raw
+    codes (ADVICE r4: the gate must reject ANY integer dtype)."""
     import dataclasses
     import jax
     cfg = dataclasses.replace(
@@ -98,7 +101,7 @@ def test_u16_with_pallas_score_kernel_falls_back(dataset_small, map_art):
     ds = dataset_small
     ctx = make_map_context(map_art.lines_info, map_art.map_cache,
                            ds.param.resol, ds.param.ori_x, ds.param.ori_y,
-                           dtype=np.float32, cache_dtype="u16")
+                           dtype=np.float32, cache_dtype=cache_dtype)
     frames = stack_frames(ds, dtype=np.float32, max_frames=8)
     got = jax.tree.map(np.asarray, run_sequence(frames, ctx, cfg))
     ref = jax.tree.map(np.asarray, run_sequence(frames, ctx, DEFAULT))
@@ -118,13 +121,17 @@ def test_legacy_mode_rejects_compressed_cache(map_art):
                               0.05, 0.0, 0.0)
 
 
-def test_polish_rejects_u16():
+@pytest.mark.parametrize("dtype_name", ["uint16", "uint8"])
+def test_polish_rejects_integer_caches(dtype_name):
+    """polish_pose must reject ANY integer cache dtype (ADVICE r4: a
+    u8 cache slipped past the old u16-only guard and was polished as
+    raw codes)."""
     import jax.numpy as jnp
     from lsdtpu.match.polish import polish_pose
-    with pytest.raises(ValueError, match="u16"):
+    with pytest.raises(ValueError, match="u16.*u8|integer"):
         polish_pose(jnp.zeros(3), jnp.zeros(2),
                     jnp.zeros((8, 2), jnp.int32), jnp.ones(8, bool),
-                    jnp.zeros((16, 16), jnp.uint16))
+                    jnp.zeros((16, 16), getattr(jnp, dtype_name)))
 
 
 def test_u8_cap_predicate(map_art):
