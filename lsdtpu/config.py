@@ -238,6 +238,25 @@ class EngineConfig:
     # lanes in lockstep to the max trip count), so the TPU-first
     # default is off.
     prefeaturize: bool = False
+    # frames processed per lax.scan iteration in run_sequence.  A
+    # 279-iteration scan pays a measured ~0.18 ms/iteration of pure
+    # loop+slice overhead on the v5e (~51 ms at k=1, reduce-only body -
+    # docs/RESULTS.md r4); unrolling k frames per body divides the
+    # iteration count while the match+UKF chain stays sequential
+    # INSIDE the body.  The k frames' featurization runs as one
+    # batched (vmapped) op per body - bounded lockstep cost at small
+    # k, unlike the measured-dead full prefeaturize.  Outputs are
+    # identical to k=1 (the sequence is padded by edge-replication,
+    # pad steps never advance the carry).  1 = the plain per-frame
+    # scan.
+    scan_unroll: int = 1
+    # how the k frames inside an unrolled body are featurized:
+    # True = one batched (vmapped) op - fewer/wider ops per iteration,
+    # but the featurize while-loops run lockstep to the max trip count
+    # over the k lanes; False = k sequential featurize calls (pure
+    # iteration-count reduction, per-frame work unchanged).  Measured
+    # on the v5e (docs/RESULTS.md r5): both LOSE vs k=1.
+    scan_unroll_batch_featurize: bool = True
 
 
 DEFAULT = EngineConfig()

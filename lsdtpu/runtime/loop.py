@@ -426,14 +426,67 @@ def run_sequence(frames, ctx: MapContext, cfg: EngineConfig = DEFAULT):
         _final, outs = jax.lax.scan(step, state, (frames, fs_all))
         return outs
 
-    def step(carry, fr):
-        carry = reset_carry(carry, fr)
-        inputs = (fr["ranges"], fr["angles"], fr["valid"], fr["n"],
-                  fr["odom_prev"], fr["odom_cur"])
-        return localization_step(carry, inputs, ctx, cfg, coarse=coarse)
+    k = max(1, cfg.scan_unroll)
+    F = frames["ranges"].shape[0]
+    if k == 1 or F <= k:
+        def step(carry, fr):
+            carry = reset_carry(carry, fr)
+            inputs = (fr["ranges"], fr["angles"], fr["valid"], fr["n"],
+                      fr["odom_prev"], fr["odom_cur"])
+            return localization_step(carry, inputs, ctx, cfg, coarse=coarse)
 
-    _final, outs = jax.lax.scan(step, state, frames)
-    return outs
+        _final, outs = jax.lax.scan(step, state, frames)
+        return outs
+
+    # --- k-frame unrolled body (cfg.scan_unroll > 1) ---
+    # The scan runs ceil(F/k) iterations; each body featurizes its k
+    # frames as ONE batched op and unrolls the sequential match+UKF
+    # chain k times.  This divides the per-iteration loop overhead
+    # (~0.18 ms on the v5e, docs/RESULTS.md r4) by k.  The sequence is
+    # padded to a multiple of k by REPLICATING the last frame (a real,
+    # featurize-safe scan); pad steps compute but never advance the
+    # carry, and their outputs are sliced off, so results match k=1.
+    n_iter = -(-F // k)
+    pad = n_iter * k - F
+    fr_p = frames
+    if pad:
+        fr_p = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.repeat(a[-1:], pad, axis=0)]), frames)
+    live = jnp.arange(n_iter * k) < F
+    xs = jax.tree.map(lambda a: a.reshape((n_iter, k) + a.shape[1:]), fr_p)
+    xs_live = live.reshape(n_iter, k)
+
+    def kstep(carry, packed):
+        fr_k, live_k = packed
+        if cfg.scan_unroll_batch_featurize:
+            fs_k = jax.vmap(lambda fr: featurize_stage(
+                (fr["ranges"], fr["angles"], fr["valid"], fr["n"],
+                 fr["odom_prev"], fr["odom_cur"]), ctx, cfg))(fr_k)
+        else:
+            fs_k = None
+        outs = []
+        for i in range(k):
+            fr_i = jax.tree.map(lambda a: a[i], fr_k)
+            stepped = reset_carry(carry, fr_i)
+            inputs = (fr_i["ranges"], fr_i["angles"], fr_i["valid"],
+                      fr_i["n"], fr_i["odom_prev"], fr_i["odom_cur"])
+            if fs_k is None:
+                fs_i = featurize_stage(inputs, ctx, cfg)
+            else:
+                fs_i = jax.tree.map(lambda a: a[i], fs_k)
+            new_carry, out = match_stage(stepped, fs_i, inputs, ctx, cfg,
+                                         coarse=coarse)
+            carry = jax.tree.map(
+                lambda new, old: jnp.where(live_k[i], new, old),
+                new_carry, carry)
+            outs.append(out)
+        outs = jax.tree.map(lambda *o: jnp.stack(o), *outs)
+        return carry, outs
+
+    _final, outs = jax.lax.scan(kstep, state, (xs, xs_live))
+    return jax.tree.map(
+        lambda a: a.reshape((n_iter * k,) + a.shape[2:])[:F], outs)
 
 
 def stack_frames(ds, dtype=np.float32, points_per_scan: int = 360,
