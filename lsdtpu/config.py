@@ -94,12 +94,16 @@ class MatchConfig:
     # rigidity bounds pixel offsets), and a scalar per-frame cond
     # falls back to the full field whenever that bound does not fit
     # the window (relock frames, long scans, map smaller than the
-    # window).  Measured on the bench data it always falls back
-    # (data1 scans reach ~517 px from the lidar) and the hoped-for
-    # gather-rate win does not exist for the scorer's coherent access
-    # pattern anyway (docs/RESULTS.md r4) - kept for short-range /
-    # memory-constrained deployments.  Window side length in px;
-    # 0 = off.
+    # window).  DEPLOYMENT-ONLY EXPERIMENTAL (r5 decision, docs/
+    # RESULTS.md): NO bundled dataset can ever engage it - data1 scans
+    # reach ~517 px, and on the coarse 0.05 m/px map1 the coverage
+    # bound needs a 788 px window on a 608 px map while the full field
+    # is already under the gather cliff at 1.17 MB; the hoped-for
+    # gather-rate win also does not exist for the scorer's coherent
+    # access pattern (r4).  Kept solely for short-range scanners on
+    # giant maps (r_s px small, field >> cache); engagement is
+    # verified by tests/test_window.py's synthetic frame.  Window side
+    # length in px; 0 = off.
     score_window: int = 0
     # exact candidate pruning (round 4; new execution strategy, bitwise-
     # identical outputs): before the exact (candidate x pixel) gather
