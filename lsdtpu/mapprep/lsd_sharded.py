@@ -26,11 +26,19 @@ the bit-parity "fifo" tier is inherently sequential and stays
 single-device (reference: the FIFO queue of RegionGrower,
 LSD/myLSD.cpp:491-590, is a global order).
 
-The dense prologue (1<->255 remap, Gaussian downsample, gradient) runs
-unsharded: they are single local passes whose cost is linear and tiny
-next to the seed walk's O(lines x field) inner loops; block-local slab
-variants (the distance_sharded halo trick) are the natural extension if
-a map ever outgrows one device's memory for even a single pass.
+The dense prologue (1<->255 remap, Gaussian downsample, gradient) is
+ALSO sharded (round 5, `prologue_sharded` - on by default here): the
+input map and the x-pass aux matrix are the only full-resolution
+intermediates (the downsampled field is sca^2 ~ 0.09x the map), so
+each device receives a host-prepared halo-extended row slab of the
+remapped map (the distance_sharded slab pattern), runs the x-pass
+row-locally, gathers its own output rows' y-taps (the halo covers
+every jy window incl. one extra gauss row for the gradient's shifted
+differences), and returns its mag/deg/banned block.  Every output
+cell is produced by exactly the same sequential tap sums and
+elementwise ops as the unsharded prologue and the only cross-slab
+reduction (max_grad) is an order-free max, so the sharded prologue is
+BITWISE the single-device one (tests/test_lsd_sharded.py).
 """
 
 from __future__ import annotations
@@ -89,6 +97,143 @@ def _runner(mesh: Mesh, sca, sig, ang_thre, den_thre, pse_bin,
     return fn
 
 
+_PROLOGUE_RUNNERS: dict = {}
+
+
+def _prologue_runner(mesh: Mesh, n_slabs: int, lin: int, w: int,
+                     lo1: int, new_x: int, h_size: int, dt):
+    key = (mesh, n_slabs, lin, w, lo1, new_x, h_size, jnp.dtype(dt))
+    fn = _PROLOGUE_RUNNERS.get(key)
+    if fn is not None:
+        return fn
+
+    def device_fn(img_slabs, jx, kx, jy_loc, ky_s):
+        # img_slabs: (S/n_dev, Lin, W); jx/kx: (new_x, hS) replicated;
+        # jy_loc/ky_s: (S/n_dev, Lo1, hS) per-slab local taps
+        def one(img, jyl, kys):
+            # x-pass: row-local reflected gathers, SEQUENTIAL tap sums
+            # (the reference's scalar loop order, myLSD.cpp:428-433 -
+            # identical op order to gaussian_sampler)
+            aux = img[:, jx[:, 0]] * kx[:, 0]
+            for i in range(1, h_size):
+                aux = aux + img[:, jx[:, i]] * kx[:, i]
+            # y-pass over this slab's halo-extended aux rows: produces
+            # gauss rows [lo-1, hi) (one extra row for the gradient)
+            g = aux[jyl[:, 0], :] * kys[:, 0:1]
+            for i in range(1, h_size):
+                g = g + aux[jyl[:, i], :] * kys[:, i:i + 1]
+            # gradient (mapprep/gradient.py, shifted to the slab): the
+            # slab's m rows are global out rows [lo, hi)
+            a = g[1:, 1:]
+            b = g[1:, :-1]
+            c = g[:-1, 1:]
+            d4 = g[:-1, :-1]
+            gx = (b + d4 - a - c) / 2.0
+            gy = (c + d4 - a - b) / 2.0
+            m = jnp.sqrt(gx * gx + gy * gy)
+            v = jnp.arctan2(gx, -gy)
+            v = jnp.where(jnp.abs(v - math.pi) < 1e-6, 0.0, v)
+            mag = jnp.zeros((lo1 - 1, new_x), dt).at[:, 1:].set(m)
+            deg = jnp.zeros((lo1 - 1, new_x), dt).at[:, 1:].set(v)
+            return mag, deg
+        return jax.vmap(one)(img_slabs, jy_loc, ky_s)
+
+    sfn = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P(MP_AXIS), P(), P(), P(MP_AXIS), P(MP_AXIS)),
+        out_specs=(P(MP_AXIS), P(MP_AXIS)), check_vma=False)
+    fn = _PROLOGUE_RUNNERS[key] = jax.jit(sfn)
+    return fn
+
+
+def prologue_sharded(map_gray, sca: float, sig: float, deg_thre: float,
+                     mesh: Mesh, blocks_per_device: int = 1):
+    """Row-block-sharded LSD dense prologue, BITWISE the unsharded
+    remap + gaussian_sampler + gradient_field chain.
+
+    map_gray: (H, W) host array (giant maps never materialize whole on
+    a device: each device sees only its halo-extended slab; the
+    downsampled outputs are ~sca^2 of the map and are assembled on
+    host).  Returns (remapped (H, W) numpy, mag, deg, banned, max_grad,
+    (new_row, new_col)) with mag/deg/banned as (new_row, new_col)
+    numpy and max_grad a float - exactly gradient_field's outputs.
+
+    Reference: LSD/myLSD.cpp:135-174 (remap + prologue),
+    :378-484 (GaussianSampler)."""
+    import numpy as np
+
+    from lsdtpu.mapprep.gaussian import _reflect_indices, kernel_bank
+
+    grid = np.asarray(map_gray)
+    y_lim, x_lim = grid.shape
+    dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    npdt = np.float64 if jax.config.jax_enable_x64 else np.float32
+
+    # in-place 1<->255 remap skipping global row/col 0 (myLSD.cpp:135-142)
+    remapped = grid.copy()
+    sub = remapped[1:, 1:]
+    sub_new = np.where(sub == 1, np.asarray(255, grid.dtype),
+                       np.where(sub == 255, np.asarray(0, grid.dtype),
+                                sub))
+    remapped[1:, 1:] = sub_new
+
+    ker, h = kernel_bank(sca, sig)
+    new_x = int(math.floor(x_lim * sca))
+    new_y = int(math.floor(y_lim * sca))
+    xc = np.floor(np.arange(new_x) / sca + 0.5).astype(np.int64)
+    jx = _reflect_indices(xc, h, x_lim).astype(np.int32)
+    kx = ker[np.arange(new_x) % 3].astype(npdt)
+    yc = np.floor(np.arange(new_y) / sca + 0.5).astype(np.int64)
+    jy = _reflect_indices(yc, h, y_lim).astype(np.int64)
+    ky = ker[np.arange(new_y) % 3].astype(npdt)
+    h_size = 2 * h + 1
+
+    n_dev = mesh.devices.size
+    S = n_dev * blocks_per_device
+    Lo = -(-new_y // S)
+    Lo1 = Lo + 1   # one leading gauss row feeds the gradient's shifts
+
+    # per-slab gauss-row ranges [lo-1, hi) and the img rows their jy
+    # windows touch; slab 0's leading row is a dummy (global row 0's
+    # mag/deg are fixed to the reference's untouched zeros below)
+    rows_g, spans = [], []
+    for d in range(S):
+        lo = d * Lo
+        # rows [lo-1, lo+Lo): local m row i pairs g rows (i, i+1) ->
+        # global m row rg[i+1].  Slab 0's leading -1 clips to a dummy
+        # copy of row 0 (its m output is global row 0, fixed below);
+        # out-of-range tail rows clip to dummies (sliced off)
+        rg = np.clip(np.arange(lo - 1, lo - 1 + Lo1), 0, new_y - 1)
+        rows_g.append(rg)
+        spans.append((int(jy[rg].min()), int(jy[rg].max())))
+    lin = max(hi_ - lo_ + 1 for lo_, hi_ in spans)
+
+    img_slabs = np.zeros((S, lin, x_lim), npdt)
+    jy_loc = np.zeros((S, Lo1, h_size), np.int32)
+    ky_s = np.zeros((S, Lo1, h_size), npdt)
+    for d in range(S):
+        lo_i, hi_i = spans[d]
+        take = remapped[lo_i:hi_i + 1].astype(npdt)
+        img_slabs[d, :take.shape[0]] = take
+        jy_loc[d] = (jy[rows_g[d]] - lo_i).astype(np.int32)
+        ky_s[d] = ky[rows_g[d]]
+
+    run = _prologue_runner(mesh, S, lin, x_lim, Lo1, new_x, h_size, dt)
+    with mesh:
+        mag_s, deg_s = run(jnp.asarray(img_slabs), jnp.asarray(jx),
+                           jnp.asarray(kx), jnp.asarray(jy_loc),
+                           jnp.asarray(ky_s))
+    mag = np.array(np.asarray(mag_s).reshape(S * Lo, new_x)[:new_y])
+    deg = np.array(np.asarray(deg_s).reshape(S * Lo, new_x)[:new_y])
+    # global row 0 is never written by the reference prologue
+    mag[0] = 0.0
+    deg[0] = 0.0
+    grad_thre = 2.0 / math.sin(deg_thre)
+    banned = np.zeros((new_y, new_x), bool)
+    banned[1:, 1:] = mag[1:, 1:] < grad_thre
+    return remapped, mag, deg, banned, float(mag.max()), (new_y, new_x)
+
+
 def line_segment_detector_sharded(map_gray, sca: float = 0.3,
                                   sig: float = 0.6,
                                   ang_thre: float = 22.5,
@@ -96,28 +241,42 @@ def line_segment_detector_sharded(map_gray, sca: float = 0.3,
                                   pse_bin: int = 1024,
                                   max_lines: int = 256,
                                   nfa_kernel: str = "xla",
-                                  mesh: Optional[Mesh] = None):
+                                  mesh: Optional[Mesh] = None,
+                                  shard_prologue: bool = True):
     """Row-block-sharded LSD ("wave" tier).  Same returns as
     line_segment_detector: (lines (max_lines, 10), mask, n_lines,
-    remapped_map)."""
+    remapped_map).
+
+    shard_prologue=True (default) runs the remap/downsample/gradient
+    prologue slab-sharded too (prologue_sharded - bitwise the
+    unsharded chain), so no device ever materializes the full-
+    resolution map; False keeps the round-4 single-device prologue."""
     if mesh is None:
         mesh = make_mesh_lsd()
     n_dev = mesh.devices.size
-    map_gray = jnp.asarray(map_gray)
-    ori_row, ori_col = map_gray.shape
     dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-
-    # dense prologue, unsharded (see module docstring): in-place 1<->255
-    # remap skipping row/col 0 (myLSD.cpp:135-142) + downsample + field
-    sub = map_gray[1:, 1:]
-    sub = jnp.where(sub == 1, jnp.asarray(255, map_gray.dtype),
-                    jnp.where(sub == 255, jnp.asarray(0, map_gray.dtype),
-                              sub))
-    remapped = map_gray.at[1:, 1:].set(sub)
-    gauss = gaussian_sampler(remapped.astype(dt), sca, sig)
-    new_row, new_col = gauss.shape
     deg_thre = ang_thre / 180.0 * math.pi
-    mag, deg_map, prebanned, max_grad = gradient_field(gauss, deg_thre)
+
+    if shard_prologue:
+        remapped, mag, deg_map, prebanned, max_grad, (new_row, new_col) \
+            = prologue_sharded(map_gray, sca, sig, deg_thre, mesh)
+        mag = jnp.asarray(mag)
+        deg_map = jnp.asarray(deg_map)
+        prebanned = jnp.asarray(prebanned)
+        max_grad = jnp.asarray(max_grad, dt)
+    else:
+        # single-device prologue: in-place 1<->255 remap skipping
+        # row/col 0 (myLSD.cpp:135-142) + downsample + field
+        map_gray = jnp.asarray(map_gray)
+        sub = map_gray[1:, 1:]
+        sub = jnp.where(sub == 1, jnp.asarray(255, map_gray.dtype),
+                        jnp.where(sub == 255,
+                                  jnp.asarray(0, map_gray.dtype), sub))
+        remapped = map_gray.at[1:, 1:].set(sub)
+        gauss = gaussian_sampler(remapped.astype(dt), sca, sig)
+        new_row, new_col = gauss.shape
+        mag, deg_map, prebanned, max_grad = gradient_field(gauss,
+                                                           deg_thre)
     H, W = mag.shape
     log_nt = 5 * (math.log10(new_row) + math.log10(new_col)) / 2.0
 

@@ -180,9 +180,14 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
                 cfg: EngineConfig = DEFAULT,
                 tp_axis: Optional[str] = None,
                 mp_axis: Optional[str] = None,
-                coarse=None) -> Tuple[TrackState, dict]:
+                coarse=None, cand=None) -> Tuple[TrackState, dict]:
     """Pipeline stage B: association + fusion + UKF + driver state
-    (L4/L5 of the reference), consuming pre-computed ScanFeatures."""
+    (L4/L5 of the reference), consuming pre-computed ScanFeatures.
+
+    cand: optional pre-generated Candidates for THIS (state, fs) pair -
+    instrumentation scripts that need the candidate tensor (dedup_stats,
+    sol_bound) pass it back in so candgen runs once and the measured
+    set is by construction the set the scorer consumes."""
     ranges, angles, valid, n, odom_prev, odom_cur = frame_inputs
     sh = cfg.shapes
 
@@ -203,13 +208,14 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
 
     # --- association (trans2FA rounds the lidar pose, :229-230) ---
     lidar_pose = geo.c_round(fs.lidar_pos)
-    cand = assoc.generate_candidates(
-        fs.lines, fs.lines_mask, ctx.lines, ctx.lines_mask,
-        lidar_pose, state.last_pose,
-        max_candidates=sh.max_candidates,
-        ignore_scan_length=cfg.match.ignore_scan_length,
-        scan_to_map_diff=cfg.match.scan_to_map_diff,
-        max_esti_dist=cfg.match.max_esti_dist)
+    if cand is None:
+        cand = assoc.generate_candidates(
+            fs.lines, fs.lines_mask, ctx.lines, ctx.lines_mask,
+            lidar_pose, state.last_pose,
+            max_candidates=sh.max_candidates,
+            ignore_scan_length=cfg.match.ignore_scan_length,
+            scan_to_map_diff=cfg.match.scan_to_map_diff,
+            max_esti_dist=cfg.match.max_esti_dist)
     if mp_axis is not None:
         # map-block sharding: this device owns a row block of the cache;
         # psum of the additive partials reproduces the full-field score

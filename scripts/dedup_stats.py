@@ -82,8 +82,10 @@ def main(argv=None) -> int:
             # affine tuple of the transform each candidate applies
             tx = cand.mx - (cand.sx * cand.ca - cand.sy * cand.sa)
             ty = cand.my - (cand.sx * cand.sa + cand.sy * cand.ca)
+            # hand the candidates back in: candgen runs ONCE and the
+            # measured set is the set the scorer consumes by construction
             new_carry, out = rloop.match_stage(
-                carry, fs, inputs, ctx, cfg, coarse=coarse)
+                carry, fs, inputs, ctx, cfg, coarse=coarse, cand=cand)
             rec = {"ca": cand.ca, "sa": cand.sa, "tx": tx, "ty": ty,
                    "mask": cand.mask,
                    "tracking": jnp.abs(carry.last_pose[0] + 1) >= 1e-4}

@@ -55,9 +55,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DATA = "/root/reference/data_20190513/data_f3key/data1"
 
 
-def _timed(fn, repeats):
+def _timed(fn, repeats, setup=None):
+    """Median-of-repeats wall time of fn(); `setup` runs before every
+    repeat OUTSIDE the timed region (e.g. resetting serving sessions
+    so each repeat replays the same workload, not one perturbed by the
+    previous repeat's final state)."""
     ts = []
     for _ in range(repeats):
+        if setup is not None:
+            setup()
         t0 = time.perf_counter()
         fn()
         ts.append(time.perf_counter() - t0)
@@ -93,8 +99,7 @@ def main(argv=None) -> int:
     from lsdtpu.io import load_dataset
     from lsdtpu.oracle import driver as odrv
     from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
-    from lsdtpu.runtime.shard import (DP_AXIS, make_mesh, make_mesh_1d,
-                                      run_batch_sharded)
+    from lsdtpu.runtime.shard import make_mesh, run_batch_sharded
 
     if args.dry:
         args.repeats = 1
@@ -159,8 +164,17 @@ def main(argv=None) -> int:
         margs = (art.lines_info, art.map_cache, ds.param.resol,
                  ds.param.ori_x, ds.param.ori_y)
         sids = [f"s{i}" for i in range(n)]
-        for sid in sids:
-            pool.open_session(sid, *margs)
+
+        def reset_sessions():
+            # fresh slot state + odometry chain per repeat: without
+            # this, repeat 2+ would feed frame 0's odometry against
+            # the previous repeat's final _prev_odom - a whole-
+            # trajectory odometry jump forcing a spurious relock
+            for sid in sids:
+                if sid in pool._sessions:
+                    pool.close_session(sid)
+                pool.open_session(sid, *margs)
+        reset_sessions()
 
         nf = min(F, len(ds.frames), ds.odom.shape[0] - 1)
 
@@ -174,7 +188,7 @@ def main(argv=None) -> int:
                 last = pool.step()
             return {s: np.asarray(v["pose"]) for s, v in last.items()}
         serve()
-        r = _timed(serve, repeats)
+        r = _timed(serve, repeats, setup=reset_sessions)
         sps = n * nf / r["median_s"]
         results["serving"] = dict(
             r, scans_per_sec=sps, n_sessions=n, frames=nf,

@@ -82,6 +82,43 @@ def test_prepare_map_cached_tpu_sharded(tmp_path):
     np.testing.assert_array_equal(cache, cache2)
 
 
+def test_prologue_sharded_bitwise():
+    """The slab-sharded dense prologue (r5) is BITWISE the unsharded
+    remap + gaussian_sampler + gradient_field chain: same sequential
+    tap sums per output cell, order-free max - on a real map (uneven
+    height) and with blocks_per_device > 1."""
+    import math
+
+    from lsdtpu.mapprep.gaussian import gaussian_sampler
+    from lsdtpu.mapprep.gradient import gradient_field
+    from lsdtpu.mapprep.lsd_sharded import prologue_sharded
+
+    ds = load_dataset("/root/reference/data")
+    for mv, bpd in ((np.asarray(ds.map_value), 1),
+                    (np.asarray(ds.map_value)[:411], 2)):
+        deg_thre = 22.5 / 180.0 * math.pi
+        mesh = make_mesh_lsd(8)
+        remapped, mag, deg, banned, max_grad, (nr, nc) = \
+            prologue_sharded(mv, 0.3, 0.6, deg_thre, mesh,
+                             blocks_per_device=bpd)
+        # unsharded reference chain
+        g = jnp.asarray(mv)
+        sub = g[1:, 1:]
+        sub = jnp.where(sub == 1, jnp.asarray(255, g.dtype),
+                        jnp.where(sub == 255, jnp.asarray(0, g.dtype),
+                                  sub))
+        rm1 = g.at[1:, 1:].set(sub)
+        dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        gauss = gaussian_sampler(rm1.astype(dt), 0.3, 0.6)
+        m1, d1, b1, mg1 = gradient_field(gauss, deg_thre)
+        np.testing.assert_array_equal(remapped, np.asarray(rm1))
+        np.testing.assert_array_equal(mag, np.asarray(m1))
+        np.testing.assert_array_equal(deg, np.asarray(d1))
+        np.testing.assert_array_equal(banned, np.asarray(b1))
+        assert max_grad == float(mg1)
+        assert (nr, nc) == m1.shape
+
+
 def test_sharded_lsd_fuzz_synthetic_maps():
     """Randomized synthetic occupancy maps (rooms + wall noise):
     sharded == single-device wave line sets - guards the collective
