@@ -345,6 +345,24 @@ def main():
     med = statistics.median(times)
     scans_per_sec = F / med
 
+    # informational: the same rollout with the frame stack already
+    # device-resident - isolates the per-call host->device transfer
+    # share (~17-21 ms through the relay, docs/DESIGN.md r5 bound)
+    # from compute.  The HEADLINE stays the host-frames number (the
+    # honest serving cost: scans arrive from the host).
+    import jax.numpy as jnp
+    frames_dev = jax.tree.map(jnp.asarray, frames)
+    jax.block_until_ready(frames_dev)
+    np.asarray(run_sequence(frames_dev, ctx, cfg)["pose"])   # warm
+    dev_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run_sequence(frames_dev, ctx, cfg)["pose"])
+        dev_times.append(time.perf_counter() - t0)
+    dev_med = statistics.median(dev_times)
+    log(f"device-resident frames: median {dev_med * 1e3:.2f} ms "
+        f"(H2D share ~{(med - dev_med) * 1e3:.1f} ms)")
+
     poses = np.asarray(outs["pose"])
     scores = np.asarray(outs["score"])
     a = eval_ate.keyframe_ate(poses, ds.real_pos, ds.recorded_odom,
@@ -358,7 +376,10 @@ def main():
 
     watchdog.cancel()
     print(result_json({"ate_rmse_m": round(float(a.rmse), 4),
-                       "tracked": tracked, "frames": F}))
+                       "tracked": tracked, "frames": F,
+                       "device_resident_ms": round(dev_med * 1e3, 3),
+                       "device_resident_scans_per_sec":
+                           round(F / dev_med, 1)}))
 
 
 if __name__ == "__main__":
