@@ -41,3 +41,50 @@ def test_pod_bench_dry_all_modes(tmp_path):
     assert got["dp"]["n_sequences"] == 2
     assert got["serving"]["n_sessions"] == 2
     assert got["temporal"]["n_segments"] == 2
+
+
+def test_pod_bench_two_process_gloo(tmp_path):
+    """The multi-host pod flow EXACTLY as documented: two processes,
+    each running the unmodified pod_bench CLI with JAX_COORDINATOR /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID set - pod_bench initializes
+    jax.distributed itself, globalizes the dp batch, runs the sharded
+    rollout across processes, and process 0 writes the SCALING json.
+    serving/temporal must be skipped (single-process-mesh modes)."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "pod_bench.py")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+    out = tmp_path / "scaling_pod.json"
+    procs = []
+    for pid in (0, 1):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)   # 1 local CPU device per process
+        env.update(JAX_COORDINATOR=f"localhost:{port}",
+                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, script, "--cpu", "--dry", "--frames", "10",
+             "--modes", "solo,dp,serving,temporal", "--out", str(out)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env))
+    outs = []
+    try:
+        for p in procs:
+            txt, _ = p.communicate(timeout=420)
+            outs.append(txt)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, txt) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid}\n{txt[-3000:]}"
+    got = json.loads(out.read_text())
+    assert got["n_processes"] == 2
+    assert got["dp"]["n_sequences"] == 2
+    assert got["dp"]["scans_per_sec"] > 0
+    assert "serving" not in got and "temporal" not in got
