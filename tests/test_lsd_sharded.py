@@ -119,6 +119,44 @@ def test_prologue_sharded_bitwise():
         assert (nr, nc) == m1.shape
 
 
+def test_prologue_sharded_fuzz_sizes():
+    """Slab-arithmetic edge cases the bundled map cannot reach: tiny
+    maps where the downsampled height is smaller than the slab count
+    (every tail slab all-dummy), heights right at the divisibility
+    boundary, and non-square aspect ratios - all must stay bitwise."""
+    import math
+
+    from lsdtpu.mapprep.gaussian import gaussian_sampler
+    from lsdtpu.mapprep.gradient import gradient_field
+    from lsdtpu.mapprep.lsd_sharded import prologue_sharded
+
+    rng = np.random.default_rng(7)
+    deg_thre = 22.5 / 180.0 * math.pi
+    mesh = make_mesh_lsd(8)
+    dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    sizes = [(41, 333), (96, 96), (267, 55), (55, 267)]
+    for (H, W), bpd in zip(sizes, (1, 2, 1, 2)):
+        occ = np.full((H, W), 255, np.uint8)
+        occ[rng.random((H, W)) < 0.05] = 1
+        _rm, mag, deg, banned, max_grad, shape = prologue_sharded(
+            occ, 0.3, 0.6, deg_thre, mesh, blocks_per_device=bpd)
+        g = jnp.asarray(occ)
+        sub = g[1:, 1:]
+        sub = jnp.where(sub == 1, jnp.asarray(255, g.dtype),
+                        jnp.where(sub == 255, jnp.asarray(0, g.dtype),
+                                  sub))
+        gauss = gaussian_sampler(g.at[1:, 1:].set(sub).astype(dt),
+                                 0.3, 0.6)
+        m1, d1, b1, mg1 = gradient_field(gauss, deg_thre)
+        np.testing.assert_array_equal(mag, np.asarray(m1),
+                                      err_msg=f"{H}x{W}")
+        np.testing.assert_array_equal(deg, np.asarray(d1),
+                                      err_msg=f"{H}x{W}")
+        np.testing.assert_array_equal(banned, np.asarray(b1),
+                                      err_msg=f"{H}x{W}")
+        assert max_grad == float(mg1) and shape == m1.shape
+
+
 def test_sharded_lsd_fuzz_synthetic_maps():
     """Randomized synthetic occupancy maps (rooms + wall noise):
     sharded == single-device wave line sets - guards the collective
