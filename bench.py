@@ -349,19 +349,23 @@ def main():
     # device-resident - isolates the per-call host->device transfer
     # share (~17-21 ms through the relay, docs/DESIGN.md r5 bound)
     # from compute.  The HEADLINE stays the host-frames number (the
-    # honest serving cost: scans arrive from the host).
-    import jax.numpy as jnp
-    frames_dev = jax.tree.map(jnp.asarray, frames)
-    jax.block_until_ready(frames_dev)
-    np.asarray(run_sequence(frames_dev, ctx, cfg)["pose"])   # warm
-    dev_times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(run_sequence(frames_dev, ctx, cfg)["pose"])
-        dev_times.append(time.perf_counter() - t0)
-    dev_med = statistics.median(dev_times)
-    log(f"device-resident frames: median {dev_med * 1e3:.2f} ms "
-        f"(H2D share ~{(med - dev_med) * 1e3:.1f} ms)")
+    # honest serving cost: scans arrive from the host).  TPU-only:
+    # on the CPU fallback there is no transfer to isolate and the
+    # watchdog budget is better left for the headline repeats.
+    dev_med = None
+    if jax.default_backend() == "tpu":
+        import jax.numpy as jnp
+        frames_dev = jax.tree.map(jnp.asarray, frames)
+        jax.block_until_ready(frames_dev)
+        np.asarray(run_sequence(frames_dev, ctx, cfg)["pose"])   # warm
+        dev_times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run_sequence(frames_dev, ctx, cfg)["pose"])
+            dev_times.append(time.perf_counter() - t0)
+        dev_med = statistics.median(dev_times)
+        log(f"device-resident frames: median {dev_med * 1e3:.2f} ms "
+            f"(H2D share ~{(med - dev_med) * 1e3:.1f} ms)")
 
     poses = np.asarray(outs["pose"])
     scores = np.asarray(outs["score"])
@@ -375,11 +379,12 @@ def main():
         log("WARNING: tracking degraded - throughput number suspect")
 
     watchdog.cancel()
-    print(result_json({"ate_rmse_m": round(float(a.rmse), 4),
-                       "tracked": tracked, "frames": F,
-                       "device_resident_ms": round(dev_med * 1e3, 3),
-                       "device_resident_scans_per_sec":
-                           round(F / dev_med, 1)}))
+    extra = {"ate_rmse_m": round(float(a.rmse), 4),
+             "tracked": tracked, "frames": F}
+    if dev_med is not None:
+        extra["device_resident_ms"] = round(dev_med * 1e3, 3)
+        extra["device_resident_scans_per_sec"] = round(F / dev_med, 1)
+    print(result_json(extra))
 
 
 if __name__ == "__main__":

@@ -46,6 +46,10 @@ def _add_cfg_args(p):
 def _add_common(p):
     p.add_argument("--data", required=True, help="dataset directory")
     p.add_argument("--mapprep", choices=("tpu", "oracle", "tpu-sharded"), default="tpu")
+    p.add_argument("--cache-dir", default=None, metavar="DIR",
+                   help="map-artifact cache directory "
+                        "(default ~/.cache/lsdtpu; point at a temp dir "
+                        "for hermetic runs)")
     p.add_argument("--f64", action="store_true",
                    help="float64 parity mode (slow on TPU)")
     p.add_argument("--frames", type=int, default=None)
@@ -132,6 +136,7 @@ def cmd_run(args) -> int:
     lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
                                       z_occ_max_dis=cfg.map.z_occ_max_dis,
                                       backend=args.mapprep,
+                                      cache_dir=getattr(args, 'cache_dir', None),
                                       growth=cfg.lsd.growth,
                                       nfa_kernel=cfg.lsd.nfa_kernel)
     print(f"map: {len(lines)} lines, cache {cache.shape} "
@@ -208,7 +213,8 @@ def _run_legacy(args, cfg, dtype) -> int:
     ds = load_dataset(args.data)
     lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
                                       z_occ_max_dis=2.0,
-                                      backend=args.mapprep)
+                                      backend=args.mapprep,
+                                      cache_dir=getattr(args, 'cache_dir', None))
     loc = OnlineLocalizer(cfg=cfg, mode="legacy", dtype=dtype)
     loc.set_map_artifacts(lines, cache, ds.param.resol, ds.param.ori_x,
                           ds.param.ori_y)
@@ -239,6 +245,7 @@ def cmd_prepare_map(args) -> int:
     lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
                                       z_occ_max_dis=cfg.map.z_occ_max_dis,
                                       backend=args.mapprep,
+                                      cache_dir=getattr(args, 'cache_dir', None),
                                       growth=cfg.lsd.growth,
                                       nfa_kernel=cfg.lsd.nfa_kernel)
     dumped = None
@@ -278,6 +285,7 @@ def cmd_refine(args) -> int:
     lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
                                       z_occ_max_dis=cfg.map.z_occ_max_dis,
                                       backend=args.mapprep,
+                                      cache_dir=getattr(args, 'cache_dir', None),
                                       growth=cfg.lsd.growth,
                                       nfa_kernel=cfg.lsd.nfa_kernel)
     ctx = make_map_context(lines, cache, ds.param.resol, ds.param.ori_x,
@@ -364,6 +372,7 @@ def cmd_profile(args) -> int:
     lines, cache = prepare_map_cached(ds.map_value, ds.param.resol,
                                       z_occ_max_dis=cfg.map.z_occ_max_dis,
                                       backend=args.mapprep,
+                                      cache_dir=getattr(args, 'cache_dir', None),
                                       growth=cfg.lsd.growth,
                                       nfa_kernel=cfg.lsd.nfa_kernel)
     ctx = make_map_context(lines, cache, ds.param.resol, ds.param.ori_x,
@@ -418,6 +427,7 @@ def cmd_batch(args) -> int:
     arts = [prepare_map_cached(d.map_value, d.param.resol,
                                z_occ_max_dis=cfg.map.z_occ_max_dis,
                                backend=args.mapprep,
+                                      cache_dir=getattr(args, 'cache_dir', None),
                                growth=cfg.lsd.growth,
                                nfa_kernel=cfg.lsd.nfa_kernel)
             for d in dss]
@@ -487,6 +497,7 @@ def cmd_serve(args) -> int:
     arts = [prepare_map_cached(d.map_value, d.param.resol,
                                z_occ_max_dis=cfg.map.z_occ_max_dis,
                                backend=args.mapprep,
+                                      cache_dir=getattr(args, 'cache_dir', None),
                                growth=cfg.lsd.growth,
                                nfa_kernel=cfg.lsd.nfa_kernel)
             for d in dss]
@@ -583,6 +594,7 @@ def main(argv=None) -> int:
     p = sub.add_parser("batch", help="batched multi-sequence rollout")
     p.add_argument("--data", nargs="+", required=True)
     p.add_argument("--mapprep", choices=("tpu", "oracle", "tpu-sharded"), default="tpu")
+    p.add_argument("--cache-dir", default=None, metavar="DIR")
     p.add_argument("--concat", action="store_true",
                    help="corpus replay: ONE lax.scan over all sequences "
                         "(must share the map) instead of a vmap batch")
@@ -599,6 +611,7 @@ def main(argv=None) -> int:
     p.add_argument("--data", nargs="+", required=True,
                    help="one dataset directory per robot")
     p.add_argument("--mapprep", choices=("tpu", "oracle", "tpu-sharded"), default="tpu")
+    p.add_argument("--cache-dir", default=None, metavar="DIR")
     p.add_argument("--frames", type=int, default=None)
     _add_cfg_args(p)
     p.set_defaults(fn=cmd_serve)

@@ -76,16 +76,31 @@ def gaussian_sampler(image: jnp.ndarray, sca: float = 0.3,
     ky = jnp.asarray(ker[np.arange(new_y) % 3], dt)
 
     img = image.astype(dt)
-    # accumulate kernel taps sequentially (ascending i) to match the
-    # reference's scalar loop order (myLSD.cpp:428-433).  XLA still
-    # contracts mul+add into FMA (uncontrollably, even across
-    # optimization barriers), so results differ from plain-double C by
-    # ~1 ulp; downstream consumers that quantize must handle the
-    # boundary case explicitly (see lsd.py seed binning).
+    return tap_sum_rows(tap_sum_cols(img, jx, kx), jy, ky)
+
+
+def tap_sum_cols(img, jx, kx):
+    """x-pass: aux[y, x'] = sum_i img[y, jx[x', i]] * kx[x', i].
+
+    Kernel taps accumulate SEQUENTIALLY (ascending i) to match the
+    reference's scalar loop order (myLSD.cpp:428-433).  XLA still
+    contracts mul+add into FMA (uncontrollably, even across
+    optimization barriers), so results differ from plain-double C by
+    ~1 ulp; downstream consumers that quantize must handle the
+    boundary case explicitly (see lsd.py seed binning).  ONE shared
+    body: the slab-sharded prologue (mapprep/lsd_sharded.py) calls
+    this too - edit it once."""
     h_size = jx.shape[1]
     aux = img[:, jx[:, 0]] * kx[:, 0]
     for i in range(1, h_size):
         aux = aux + img[:, jx[:, i]] * kx[:, i]
+    return aux
+
+
+def tap_sum_rows(aux, jy, ky):
+    """y-pass: out[y', x] = sum_i aux[jy[y', i], x] * ky[y', i] -
+    same sequential-accumulation contract as tap_sum_cols."""
+    h_size = jy.shape[1]
     out = aux[jy[:, 0], :] * ky[:, 0:1]
     for i in range(1, h_size):
         out = out + aux[jy[:, i], :] * ky[:, i:i + 1]

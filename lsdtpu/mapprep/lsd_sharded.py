@@ -101,38 +101,31 @@ _PROLOGUE_RUNNERS: dict = {}
 
 
 def _prologue_runner(mesh: Mesh, n_slabs: int, lin: int, w: int,
-                     lo1: int, new_x: int, h_size: int, dt):
-    key = (mesh, n_slabs, lin, w, lo1, new_x, h_size, jnp.dtype(dt))
+                     lo1: int, new_x: int, new_y: int, h_size: int,
+                     grad_thre: float, dt):
+    key = (mesh, n_slabs, lin, w, lo1, new_x, new_y, h_size,
+           grad_thre, jnp.dtype(dt))
     fn = _PROLOGUE_RUNNERS.get(key)
     if fn is not None:
         return fn
 
+    from lsdtpu.mapprep.gaussian import tap_sum_cols, tap_sum_rows
+    from lsdtpu.mapprep.gradient import gradient_core
+
     def device_fn(img_slabs, jx, kx, jy_loc, ky_s):
         # img_slabs: (S/n_dev, Lin, W); jx/kx: (new_x, hS) replicated;
-        # jy_loc/ky_s: (S/n_dev, Lo1, hS) per-slab local taps
+        # jy_loc/ky_s: (S/n_dev, Lo1, hS) per-slab local taps.
+        # ONE shared numeric body with the unsharded chain: the tap
+        # sums and the gradient core are the gaussian.py/gradient.py
+        # functions themselves (sequential reference op order,
+        # myLSD.cpp:428-433 / :145-174).
         def one(img, jyl, kys):
-            # x-pass: row-local reflected gathers, SEQUENTIAL tap sums
-            # (the reference's scalar loop order, myLSD.cpp:428-433 -
-            # identical op order to gaussian_sampler)
-            aux = img[:, jx[:, 0]] * kx[:, 0]
-            for i in range(1, h_size):
-                aux = aux + img[:, jx[:, i]] * kx[:, i]
+            aux = tap_sum_cols(img, jx, kx)
             # y-pass over this slab's halo-extended aux rows: produces
             # gauss rows [lo-1, hi) (one extra row for the gradient)
-            g = aux[jyl[:, 0], :] * kys[:, 0:1]
-            for i in range(1, h_size):
-                g = g + aux[jyl[:, i], :] * kys[:, i:i + 1]
-            # gradient (mapprep/gradient.py, shifted to the slab): the
-            # slab's m rows are global out rows [lo, hi)
-            a = g[1:, 1:]
-            b = g[1:, :-1]
-            c = g[:-1, 1:]
-            d4 = g[:-1, :-1]
-            gx = (b + d4 - a - c) / 2.0
-            gy = (c + d4 - a - b) / 2.0
-            m = jnp.sqrt(gx * gx + gy * gy)
-            v = jnp.arctan2(gx, -gy)
-            v = jnp.where(jnp.abs(v - math.pi) < 1e-6, 0.0, v)
+            g = tap_sum_rows(aux, jyl, kys)
+            # the slab's m rows are global out rows [lo, hi)
+            m, v = gradient_core(g)
             mag = jnp.zeros((lo1 - 1, new_x), dt).at[:, 1:].set(m)
             deg = jnp.zeros((lo1 - 1, new_x), dt).at[:, 1:].set(v)
             return mag, deg
@@ -142,7 +135,20 @@ def _prologue_runner(mesh: Mesh, n_slabs: int, lin: int, w: int,
         device_fn, mesh=mesh,
         in_specs=(P(MP_AXIS), P(), P(), P(MP_AXIS), P(MP_AXIS)),
         out_specs=(P(MP_AXIS), P(MP_AXIS)), check_vma=False)
-    fn = _PROLOGUE_RUNNERS[key] = jax.jit(sfn)
+
+    def full(img_slabs, jx, kx, jy_loc, ky_s):
+        mag_s, deg_s = sfn(img_slabs, jx, kx, jy_loc, ky_s)
+        lo = lo1 - 1
+        mag = mag_s.reshape(n_slabs * lo, new_x)[:new_y]
+        deg = deg_s.reshape(n_slabs * lo, new_x)[:new_y]
+        # global row 0 is never written by the reference prologue
+        mag = mag.at[0].set(0.0)
+        deg = deg.at[0].set(0.0)
+        banned = jnp.zeros((new_y, new_x), bool).at[1:, 1:].set(
+            mag[1:, 1:] < grad_thre)
+        return mag, deg, banned, jnp.max(mag)
+
+    fn = _PROLOGUE_RUNNERS[key] = jax.jit(full)
     return fn
 
 
@@ -151,12 +157,14 @@ def prologue_sharded(map_gray, sca: float, sig: float, deg_thre: float,
     """Row-block-sharded LSD dense prologue, BITWISE the unsharded
     remap + gaussian_sampler + gradient_field chain.
 
-    map_gray: (H, W) host array (giant maps never materialize whole on
-    a device: each device sees only its halo-extended slab; the
-    downsampled outputs are ~sca^2 of the map and are assembled on
-    host).  Returns (remapped (H, W) numpy, mag, deg, banned, max_grad,
-    (new_row, new_col)) with mag/deg/banned as (new_row, new_col)
-    numpy and max_grad a float - exactly gradient_field's outputs.
+    map_gray: (H, W) host array.  Giant maps never materialize whole
+    on a device: the slab stack is passed to the jitted shard_map as
+    RAW host numpy (the distance_sharded pattern - each device
+    receives only its in_spec shard) and the downsampled outputs
+    (~sca^2 of the map) stay on device for the seed walk.  Returns
+    (remapped (H, W) numpy, mag, deg, banned, max_grad,
+    (new_row, new_col)) with mag/deg/banned/max_grad as device
+    arrays - exactly gradient_field's outputs.
 
     Reference: LSD/myLSD.cpp:135-174 (remap + prologue),
     :378-484 (GaussianSampler)."""
@@ -218,20 +226,15 @@ def prologue_sharded(map_gray, sca: float, sig: float, deg_thre: float,
         jy_loc[d] = (jy[rows_g[d]] - lo_i).astype(np.int32)
         ky_s[d] = ky[rows_g[d]]
 
-    run = _prologue_runner(mesh, S, lin, x_lim, Lo1, new_x, h_size, dt)
-    with mesh:
-        mag_s, deg_s = run(jnp.asarray(img_slabs), jnp.asarray(jx),
-                           jnp.asarray(kx), jnp.asarray(jy_loc),
-                           jnp.asarray(ky_s))
-    mag = np.array(np.asarray(mag_s).reshape(S * Lo, new_x)[:new_y])
-    deg = np.array(np.asarray(deg_s).reshape(S * Lo, new_x)[:new_y])
-    # global row 0 is never written by the reference prologue
-    mag[0] = 0.0
-    deg[0] = 0.0
     grad_thre = 2.0 / math.sin(deg_thre)
-    banned = np.zeros((new_y, new_x), bool)
-    banned[1:, 1:] = mag[1:, 1:] < grad_thre
-    return remapped, mag, deg, banned, float(mag.max()), (new_y, new_x)
+    run = _prologue_runner(mesh, S, lin, x_lim, Lo1, new_x, new_y,
+                           h_size, float(grad_thre), dt)
+    with mesh:
+        # raw numpy in: jit shards each input per its in_spec, so the
+        # full-resolution slab stack is never staged on one device
+        mag, deg, banned, max_grad = run(img_slabs, jx, kx, jy_loc,
+                                         ky_s)
+    return remapped, mag, deg, banned, max_grad, (new_y, new_x)
 
 
 def line_segment_detector_sharded(map_gray, sca: float = 0.3,

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import hashlib
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -64,18 +64,22 @@ def _prepare_map_sharded(map_value, resol, z_occ_max_dis, nfa_kernel,
 
 def prepare_map_cached(map_value: np.ndarray, resol: float,
                        z_occ_max_dis: float = 1.0, backend: str = "tpu",
-                       cache_dir: str = DEFAULT_CACHE_DIR,
+                       cache_dir: Optional[str] = None,
                        growth: str = "wave", nfa_kernel: str = "xla"
                        ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (lines_info, map_cache), computing at most once per map.
 
     backend: "tpu" (mapprep, on-device), "oracle" (numpy reference
     semantics, f64), or "tpu-sharded" (giant maps: the distance field
-    block-built bit-exact + the LSD seed walk with its inner passes
-    row-block-sharded over all devices - wave tier only; growth is
-    ignored); growth: LSD region-growth order (tpu backend only;
-    "fifo" = bit-exact reference acceptance order); nfa_kernel: "xla" or
-    "pallas" (tpu backend only; identical artifacts)."""
+    block-built bit-exact + the LSD seed walk AND dense prologue with
+    their inner passes row-block-sharded over all devices - wave tier
+    only; growth is ignored); growth: LSD region-growth order (tpu
+    backend only; "fifo" = bit-exact reference acceptance order);
+    nfa_kernel: "xla" or "pallas" (tpu backend only; identical
+    artifacts); cache_dir: None = ~/.cache/lsdtpu (the CLI exposes
+    --cache-dir for hermetic runs)."""
+    if cache_dir is None:
+        cache_dir = DEFAULT_CACHE_DIR
     path = os.path.join(cache_dir,
                         f"map_{_key(map_value, resol, z_occ_max_dis, backend, growth, nfa_kernel)}.npz")
     if os.path.exists(path):

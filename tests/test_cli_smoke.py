@@ -39,9 +39,16 @@ def test_cli_run_with_overrides_and_unroll(data_dir, capsys):
 
 
 def test_cli_prepare_map_sharded_and_batch(data_dir, tmp_path, capsys):
+    # hermetic cache dir (review r5 finding: against the user-global
+    # ~/.cache/lsdtpu a warm cache would short-circuit the sharded
+    # prep path this test exists to exercise)
     rc = main(["prepare-map", "--data", data_dir,
-               "--mapprep", "tpu-sharded"])
+               "--mapprep", "tpu-sharded",
+               "--cache-dir", str(tmp_path / "cache")])
     assert rc == 0
+    assert any(f.suffix == ".npz"
+               for f in (tmp_path / "cache").iterdir())
     rc = main(["batch", "--data", data_dir, data_dir,
-               "--mapprep", "oracle"])
+               "--mapprep", "oracle",
+               "--cache-dir", str(tmp_path / "cache")])
     assert rc == 0
