@@ -104,7 +104,8 @@ def main(argv=None) -> int:
     from lsdtpu.runtime.shard import make_mesh, run_batch_sharded
 
     if args.dry:
-        args.repeats = 1
+        if args.repeats == 3:      # shrink the default only - an
+            args.repeats = 1       # explicit --repeats N is honored
         if args.frames is None:
             args.frames = 12
 

@@ -27,8 +27,11 @@ def _load_pod_bench():
 def test_pod_bench_dry_all_modes(tmp_path):
     pb = _load_pod_bench()
     out = tmp_path / "scaling.json"
+    # --repeats 2 exercises the serving per-repeat session reset
+    # (review r5: a stale _prev_odom across repeats injected a bogus
+    # whole-trajectory odometry jump)
     rc = pb.main(["--dry", "--cpu", "--n-devices", "2", "--frames", "40",
-                  "--out", str(out)])
+                  "--repeats", "2", "--out", str(out)])
     assert rc == 0
     got = json.loads(out.read_text())
     assert got["backend"] == "cpu"
@@ -38,6 +41,7 @@ def test_pod_bench_dry_all_modes(tmp_path):
         assert mode in got, f"mode {mode} missing from SCALING json"
         assert got[mode]["scans_per_sec"] > 0
         assert np.isfinite(got[mode]["median_s"])
+        assert got[mode]["n_repeats"] == 2
     assert got["dp"]["n_sequences"] == 2
     assert got["serving"]["n_sessions"] == 2
     assert got["temporal"]["n_segments"] == 2
