@@ -15,6 +15,21 @@ The stub keeps shapes/dtypes and the acceptance path live (every
 candidate accepted, so fuse's weighted mean still reduces over the
 full live set - an upper-ish bound on fuse work).
 
+CAVEAT (review r5): the stub's garbage fused poses diverge
+state.last_pose from the real trajectory, so candgen's HMM gating
+and the live-count-following chunk trip counts execute a DIFFERENT
+per-frame workload than the real rollout - the decomposition is
+workload-approximate, not exact.  On data1 it agrees with the
+independent subtraction residual to ~1 ms (47 vs ~47, docs/DESIGN.md),
+which is the evidence the approximation holds there; re-check that
+agreement before trusting the split on other datasets.
+
+This script intentionally does NOT share attrib_r4's harness: r4's
+protocol (host-numpy frames re-uploaded per call) is kept frozen for
+cross-round comparability, while this one times device-resident
+inputs (the r5 H2D separation).  The two scripts' numbers are NOT
+directly comparable.
+
 Usage: python scripts/attrib_r5.py [--cpu] [--repeats N]
 Chip rules apply (probe first, one process, time-to-value).
 """

@@ -78,7 +78,9 @@ def main(argv=None) -> int:
     ap.add_argument("--data", default=DATA)
     ap.add_argument("--frames", type=int, default=None,
                     help="cap frames per sequence (default: full)")
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=None,
+                    help="timing repeats (default 3; 1 under --dry; "
+                         "an explicit value is always honored)")
     ap.add_argument("--n-devices", type=int, default=None,
                     help="use only the first N devices")
     ap.add_argument("--modes", default="solo,dp,serving,temporal")
@@ -103,11 +105,10 @@ def main(argv=None) -> int:
     from lsdtpu.runtime import make_map_context, run_sequence, stack_frames
     from lsdtpu.runtime.shard import make_mesh, run_batch_sharded
 
-    if args.dry:
-        if args.repeats == 3:      # shrink the default only - an
-            args.repeats = 1       # explicit --repeats N is honored
-        if args.frames is None:
-            args.frames = 12
+    if args.repeats is None:
+        args.repeats = 1 if args.dry else 3
+    if args.dry and args.frames is None:
+        args.frames = 12
 
     multiproc = jax.process_count() > 1
     devs = jax.devices()
