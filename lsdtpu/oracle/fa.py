@@ -134,7 +134,13 @@ def scan_to_map_candidates(scan_lines: np.ndarray, map_lines: np.ndarray,
                 if not first_frame:
                     d = math.sqrt((rlx - last_pose[0]) ** 2 +
                                   (rly - last_pose[1]) ** 2)
-                    if d >= max_esti_dist:
+                    # accept-form comparison, NOT `d >= max: continue`:
+                    # the reference gates with `if (dis < maxEstiDist)`
+                    # (myFA.cpp:330), so a NaN distance (possible after
+                    # a perfect-score frame NaN-poisons last_pose, see
+                    # fuse_candidates) REJECTS the candidate - the
+                    # inverted form accepted it (fuzz campaign r5)
+                    if not (d < max_esti_dist):
                         continue
                 tx = (p_x - sx) * ca - (p_y - sy) * sa + mx
                 ty = (p_x - sx) * sa + (p_y - sy) * ca + my
@@ -157,17 +163,30 @@ class FAResult:
 
 
 def fuse_candidates(cands: List[Candidate]) -> Optional[Candidate]:
-    """Inverse-square-score weighted mean (myFA.cpp:159-171)."""
+    """Inverse-square-score weighted mean (myFA.cpp:159-171).
+
+    A PERFECT candidate (score == 0.0, every pixel on a zero-distance
+    cell - reachable on noise-free synthetic scenes) gets weight
+    1/0 = +inf in the reference's IEEE doubles (myFA.cpp:161), so the
+    fused pose becomes inf/inf = NaN and the fused score
+    1/sqrt(inf) = 0.  Python float division would raise instead -
+    mirror the C++ semantics explicitly (found by
+    scripts/fuzz_campaign.py r5)."""
     if not cands:
         return None
     sum_x = sum_y = sum_ang = sum_s = 0.0
     for c in cands:
-        w = 1.0 / (c.score * c.score)
+        w = math.inf if c.score == 0.0 else 1.0 / (c.score * c.score)
         sum_x += c.x * w
         sum_y += c.y * w
         sum_ang += c.ang * w
         sum_s += w
-    return Candidate(sum_x / sum_s, sum_y / sum_s, sum_ang / sum_s,
+    def _div(a, b):
+        if math.isinf(a) and math.isinf(b):
+            return math.nan       # IEEE inf/inf
+        return a / b
+    return Candidate(_div(sum_x, sum_s), _div(sum_y, sum_s),
+                     _div(sum_ang, sum_s),
                      1.0 / math.sqrt(sum_s / len(cands)))
 
 

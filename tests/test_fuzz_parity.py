@@ -158,3 +158,38 @@ def test_fuzz_rollout_matches_oracle_f64(seed):
     np.testing.assert_allclose(sc[m], osc[m], atol=1e-9)
     np.testing.assert_allclose(np.asarray(outs["pose"]), ores.poses,
                                atol=1e-4)
+
+
+def test_perfect_score_nan_chain_parity():
+    """A PERFECT candidate (score == 0.0 - reachable on noise-free
+    synthetic geometry) drives the reference's inverse-square fusion
+    to inf weights and a NaN fused pose (myFA.cpp:161: 1/pow(0,2));
+    the NEXT frame's HMM gate then rejects everything (NaN distance
+    fails `dis < maxEstiDist`, myFA.cpp:330) and the engine resets and
+    relocks globally.  Both engines must walk that exact chain: the
+    r5 fuzz campaign caught the oracle (a) raising ZeroDivisionError
+    instead of inf, and (b) gating with the INVERTED comparison
+    `d >= max: continue`, which ACCEPTS NaN distances (seed 101)."""
+    from lsdtpu.runtime.loop import (make_map_context, run_sequence,
+                                     stack_frames)
+    ds = synth_dataset(101)
+    art = odrv.prepare_map(ds.map_value.copy(), ds.param.resol)
+    ores = odrv.run_sequence(ds, map_art=art)
+    ctx = make_map_context(art.lines_info, art.map_cache, ds.param.resol,
+                           ds.param.ori_x, ds.param.ori_y)
+    outs = run_sequence(stack_frames(ds, dtype=np.float64), ctx)
+    sc = np.asarray(outs["score"])
+    osc = np.array([r.score for r in ores.records])
+    # the scene actually exercises the chain: perfect frames exist,
+    # followed by a lost (inf) frame, then a global relock
+    perfect = np.nonzero(osc == 0.0)[0]
+    assert len(perfect) > 0 and np.isinf(osc).any()
+    # identical tracking decisions, scores, and NaN-pose frames
+    np.testing.assert_array_equal(np.isfinite(sc), np.isfinite(osc))
+    m = np.isfinite(osc)
+    np.testing.assert_allclose(sc[m], osc[m], atol=1e-9)
+    poses = np.asarray(outs["pose"])
+    np.testing.assert_array_equal(np.isnan(poses).any(1),
+                                  np.isnan(ores.poses).any(1))
+    ok = m & ~np.isnan(poses).any(1)
+    np.testing.assert_allclose(poses[ok], ores.poses[ok], atol=1e-4)
