@@ -231,7 +231,10 @@ class EngineConfig:
     shapes: ShapeConfig = dataclasses.field(default_factory=ShapeConfig)
     filter: FilterConfig = dataclasses.field(default_factory=FilterConfig)
     # "faithful" reproduces reference bugs (odometry y-term
-    # main_on_windows.cpp:151, dropped `orient`); "fixed" corrects them.
+    # main_on_windows.cpp:151, dropped `orient`, and the perfect-score
+    # NaN chain: a score-0 candidate gets weight 1/0 = inf and the
+    # fused pose NaN-poisons tracking, myFA.cpp:161); "fixed" corrects
+    # them (incl. a 1e-6 fusion weight floor - match/associate.fuse).
     faithful: bool = True
     # hoist scan featurization out of the sequential rollout: frames
     # are featurized as ONE batched (vmapped) op before the lax.scan,

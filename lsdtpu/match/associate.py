@@ -783,7 +783,7 @@ def finalize_scores(cand: Candidates, sum_d, n_valid, n_all,
 
 
 def fuse(cand: Candidates, scores, score_accept: float = 3.0,
-         axis_name: str | None = None
+         axis_name: str | None = None, score_floor: float = 0.0
          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Accept (score < 3) and fuse candidates.
 
@@ -796,9 +796,23 @@ def fuse(cand: Candidates, scores, score_accept: float = 3.0,
     line tensor parallelism): the weighted mean is a plain sum reduction
     so a psum of (sum_w, sum_pose, n) reproduces the single-device result
     exactly; the argmin is a pmin with lowest-rank tie-breaking.
+
+    score_floor: 0.0 (faithful default) reproduces the reference's
+    IEEE behavior on a PERFECT candidate - 1/pow(0,2) = inf weight
+    (myFA.cpp:161), fused pose inf/inf = NaN, next frame's NaN HMM
+    distances reject everything (myFA.cpp:330) and tracking resets
+    to a global relock.  A perfect match destroying tracking is a
+    reference BUG; cfg.faithful=False clamps scores to this floor in
+    the weights so a perfect candidate dominates the mean (w =
+    1/floor^2) without poisoning it (runtime/loop.py wires 1e-6).
     """
     acc = scores < score_accept
-    w = jnp.where(acc, 1.0 / (scores * scores), 0.0)
+    if score_floor > 0.0:
+        w_scores = jnp.maximum(scores, jnp.asarray(score_floor,
+                                                   scores.dtype))
+    else:
+        w_scores = scores
+    w = jnp.where(acc, 1.0 / (w_scores * w_scores), 0.0)
     sum_w = jnp.sum(w)
     sum_pose = jnp.sum(cand.pose * w[:, None], axis=0)
     n_acc = jnp.sum(acc)

@@ -289,8 +289,14 @@ def match_stage(state: TrackState, fs, frame_inputs, ctx: MapContext,
             window_center=state.last_pose[:2],
             scan_radius=scan_radius,
             window_gate=cfg.match.max_esti_dist)
+    # faithful: a perfect (score 0) candidate NaN-poisons the fused
+    # pose exactly like the reference's inf weight does (myFA.cpp:161)
+    # and tracking resets next frame; fixed mode floors the weight
+    # scores so a perfect match dominates instead of destroying
+    # tracking (assoc.fuse docstring; test_fuzz_parity.py)
     pose_w, fused_score, pose_min, min_score, n_acc = assoc.fuse(
-        cand, scores, cfg.match.score_accept, axis_name=tp_axis)
+        cand, scores, cfg.match.score_accept, axis_name=tp_axis,
+        score_floor=0.0 if cfg.faithful else 1e-6)
     if cfg.match.polish_pose and mp_axis is not None:
         raise ValueError(
             "match.polish_pose requires a full-field cache view and is "

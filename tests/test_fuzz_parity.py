@@ -193,3 +193,30 @@ def test_perfect_score_nan_chain_parity():
                                   np.isnan(ores.poses).any(1))
     ok = m & ~np.isnan(poses).any(1)
     np.testing.assert_allclose(poses[ok], ores.poses[ok], atol=1e-4)
+
+
+def test_fixed_mode_survives_perfect_scores():
+    """cfg.faithful=False corrects the reference's perfect-score bug:
+    the weight floor keeps a score-0 candidate from NaN-poisoning the
+    fused pose, so tracking RIDES THROUGH the perfect frames that
+    reset the faithful engine (seed 101: faithful loses frames 3/6/9
+    to the NaN->reset chain; fixed tracks all 10 with finite poses)."""
+    import dataclasses
+
+    from lsdtpu.config import DEFAULT
+    from lsdtpu.runtime.loop import (make_map_context, run_sequence,
+                                     stack_frames)
+    ds = synth_dataset(101)
+    art = odrv.prepare_map(ds.map_value.copy(), ds.param.resol)
+    ctx = make_map_context(art.lines_info, art.map_cache, ds.param.resol,
+                           ds.param.ori_x, ds.param.ori_y)
+    frames = stack_frames(ds, dtype=np.float64)
+    faith = run_sequence(frames, ctx, DEFAULT)
+    fixed = run_sequence(frames, ctx,
+                         dataclasses.replace(DEFAULT, faithful=False))
+    f_sc = np.asarray(faith["score"])
+    x_sc = np.asarray(fixed["score"])
+    assert np.isinf(f_sc).any()              # faithful loses frames
+    assert np.isnan(np.asarray(faith["pose"])).any()
+    assert np.isfinite(x_sc).all()           # fixed tracks everything
+    assert np.isfinite(np.asarray(fixed["pose"])).all()
