@@ -38,6 +38,7 @@ def main(argv=None) -> int:
     ap.add_argument("--lsd", type=int, default=12)
     ap.add_argument("--fifo", type=int, default=8)
     ap.add_argument("--rollout", type=int, default=8)
+    ap.add_argument("--shard", type=int, default=4)
     ap.add_argument("--seed0", type=int, default=100,
                     help="first seed (CI uses 0-4; default starts past)")
     args = ap.parse_args(argv)
@@ -177,6 +178,41 @@ def main(argv=None) -> int:
                   f"max pose diff {d}", flush=True)
     print(f"f64 rollout vs oracle: {args.rollout} seeds "
           f"({strong} strong-tier, {weak} boundary-amplified weak-tier), "
+          f"{time.time() - t0:.0f}s", flush=True)
+
+    # sharded-runtime equality on synthetic scenes: (dp, tp) and
+    # (dp, mp) meshes must reproduce the single-device rollout (psum
+    # additive-partials exactness; CI pins this on bundled data only)
+    t0 = time.time()
+    from lsdtpu.runtime.shard import (make_mesh, make_mesh_mp,
+                                      run_batch_sharded,
+                                      run_batch_sharded_mapblocks)
+    n_shard = max(0, args.shard)
+    for seed in range(s0, s0 + n_shard):
+        ds = fz.synth_dataset(seed)
+        art = odrv.prepare_map(ds.map_value.copy(), ds.param.resol)
+        ctx = make_map_context(art.lines_info, art.map_cache,
+                               ds.param.resol, ds.param.ori_x,
+                               ds.param.ori_y)
+        frames = stack_frames(ds, dtype=np.float64)
+        ref = jax.tree.map(np.asarray, run_sequence(frames, ctx))
+        bf = jax.tree.map(lambda a: np.asarray(a)[None], frames)
+        bc = jax.tree.map(lambda a: np.asarray(a)[None], ctx)
+        for name, runner, mesh in (
+                ("dp-tp", run_batch_sharded, make_mesh()),
+                ("dp-mp", run_batch_sharded_mapblocks, make_mesh_mp())):
+            outs = jax.tree.map(np.asarray, runner(bf, bc, mesh))
+            ok = (np.array_equal(np.isfinite(outs["score"][0]),
+                                 np.isfinite(ref["score"]))
+                  and np.allclose(
+                      outs["pose"][0], ref["pose"],
+                      atol=1e-6, equal_nan=True))
+            if not ok:
+                fails += 1
+                d = np.nanmax(np.abs(outs["pose"][0] - ref["pose"]))
+                print(f"FAIL shard-{name} seed={seed}: "
+                      f"max pose diff {d}", flush=True)
+    print(f"sharded-runtime equality: {n_shard} seeds x 2 meshes, "
           f"{time.time() - t0:.0f}s", flush=True)
 
     print(f"campaign done: {fails} failures")
