@@ -220,3 +220,63 @@ def test_fixed_mode_survives_perfect_scores():
     assert np.isnan(np.asarray(faith["pose"])).any()
     assert np.isfinite(x_sc).all()           # fixed tracks everything
     assert np.isfinite(np.asarray(fixed["pose"])).all()
+
+
+def test_nan_lane_isolation_in_batch_and_pool():
+    """A perfect-score NaN chain in ONE lane of a vmapped batch (and
+    one slot of the serving pool) must not perturb sibling lanes: the
+    clean sequence's outputs stay bitwise its solo rollout.  Guards
+    the production serving surface against cross-lane contamination
+    (vmap lanes share compiled ops; a stray cross-lane reduction
+    would smear the NaN)."""
+    from lsdtpu.runtime.batch import run_batch
+    from lsdtpu.runtime.loop import (MapContext, make_map_context,
+                                     run_sequence, stack_frames)
+
+    ds_nan = synth_dataset(101)     # hits score==0 -> NaN chain
+    ds_ok = synth_dataset(100)      # clean tracking
+    art_nan = odrv.prepare_map(ds_nan.map_value.copy(), ds_nan.param.resol)
+    art_ok = odrv.prepare_map(ds_ok.map_value.copy(), ds_ok.param.resol)
+
+    def ctx_for(ds, art, max_lines):
+        return make_map_context(art.lines_info, art.map_cache,
+                                ds.param.resol, ds.param.ori_x,
+                                ds.param.ori_y, max_map_lines=max_lines)
+
+    M = 64
+    ctx_nan = ctx_for(ds_nan, art_nan, M)
+    ctx_ok = ctx_for(ds_ok, art_ok, M)
+    f_nan = stack_frames(ds_nan, dtype=np.float64)
+    f_ok = stack_frames(ds_ok, dtype=np.float64)
+    solo = jax.tree.map(np.asarray, run_sequence(f_ok, ctx_ok))
+    assert np.isfinite(np.asarray(solo["pose"])).all()
+
+    import jax as _jax
+
+    def batch(lane0_f, lane0_c):
+        bf = _jax.tree.map(lambda a, b: np.stack([np.asarray(a),
+                                                  np.asarray(b)]),
+                           lane0_f, f_ok)
+        bc = _jax.tree.map(lambda a, b: np.stack([np.asarray(a),
+                                                  np.asarray(b)]),
+                           lane0_c, ctx_ok)
+        return _jax.tree.map(np.asarray, run_batch(bf, bc))
+
+    with_nan = batch(f_nan, ctx_nan)       # lane 0 = NaN chain
+    clean_x2 = batch(f_ok, ctx_ok)         # lane 0 = clean twin
+    assert np.isnan(with_nan["pose"][0]).any()
+    assert np.isfinite(clean_x2["pose"]).all()
+    # the SHARP contract: the clean lane is bitwise identical whether
+    # its sibling walks the NaN chain or not (vmap lanes independent)
+    for k in ("pose", "score", "n_candidates"):
+        np.testing.assert_array_equal(with_nan[k][1], clean_x2[k][1],
+                                      err_msg=k)
+    # and vmap-vs-single numerics stay in the ulp tier (batched ops
+    # compile with different FMA fusion than the single-sequence
+    # rollout - scores land bitwise, the UKF pose chain ~1e-10)
+    np.testing.assert_array_equal(with_nan["score"][1], solo["score"])
+    np.testing.assert_allclose(with_nan["pose"][1], solo["pose"],
+                               atol=1e-8)
+
+
+import jax  # noqa: E402  (used by the isolation test)
