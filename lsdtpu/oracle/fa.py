@@ -181,13 +181,13 @@ def fuse_candidates(cands: List[Candidate]) -> Optional[Candidate]:
         sum_y += c.y * w
         sum_ang += c.ang * w
         sum_s += w
-    def _div(a, b):
-        if math.isinf(a) and math.isinf(b):
-            return math.nan       # IEEE inf/inf
-        return a / b
-    return Candidate(_div(sum_x, sum_s), _div(sum_y, sum_s),
-                     _div(sum_ang, sum_s),
-                     1.0 / math.sqrt(sum_s / len(cands)))
+    # sum_s is inf or positive-finite (never 0.0: every term > 0), so
+    # plain division already matches the C++ IEEE results (inf/inf =
+    # nan, finite/inf = 0.0); errstate silences numpy's scalar
+    # inf/inf warning like the other mirrored-NaN oracle paths
+    with np.errstate(invalid='ignore'):
+        return Candidate(sum_x / sum_s, sum_y / sum_s, sum_ang / sum_s,
+                         1.0 / math.sqrt(sum_s / len(cands)))
 
 
 def ukf(kalman_x: np.ndarray, kalman_P: np.ndarray,

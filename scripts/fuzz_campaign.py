@@ -46,6 +46,10 @@ def main(argv=None) -> int:
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    # 8 virtual devices BEFORE first backend init (tests/conftest.py
+    # mirror): without this the sharded-equality section builds 1x1
+    # meshes and verifies nothing (review r5)
+    jax.config.update("jax_num_cpu_devices", 8)
     import jax.numpy as jnp
     import numpy as np
 
@@ -120,13 +124,29 @@ def main(argv=None) -> int:
             ok = (len(want) > 4
                   and 0.7 * len(want) <= len(got) <= 2.0 * len(want)
                   and fz._match_lines(got, want, 25.0)
-                  >= int(0.9 * len(want)))
+                  >= int(0.9 * len(want))
+                  and fz._match_lines(got, want, 2.0)
+                  >= int(0.7 * len(want)))
             if not ok:
                 fails += 1
                 print(f"FAIL lsd-fifo seed={seed}: oracle {len(want)} "
                       f"vs tpu {len(got)} lines", flush=True)
     print(f"LSD fifo: {args.fifo} seeds ({exact} bitwise-identical), "
           f"{time.time() - t0:.0f}s", flush=True)
+
+    def _weak_tier_ok(poses, oposes, ok_frames):
+        """Boundary-amplified tier: transient divergence only.  Covers
+        the two root-caused mechanisms (c_round boundary crossings
+        ~1e-2 px; relock argmin near-ties up to ~3 px at the relock
+        frame, seed 112) while still failing persistent cell-scale
+        wrongness: every diff must stay under 5 px AND the chain must
+        RE-CONVERGE - the last ok frames agree to sub-cell."""
+        idx = np.nonzero(ok_frames)[0]
+        if len(idx) == 0:
+            return True
+        d = np.abs(poses[idx] - oposes[idx]).max(axis=1)
+        tail = d[-min(3, len(d)):]
+        return d.max() < 5.0 and (tail < 0.5).all()
 
     t0 = time.time()
     strong = weak = 0
@@ -162,14 +182,7 @@ def main(argv=None) -> int:
                 and np.allclose(poses[ok_frames], ores.poses[ok_frames],
                                 atol=1e-4):
             strong += 1
-        elif decisions and np.allclose(poses[ok_frames],
-                                       ores.poses[ok_frames], atol=10.0):
-            # weak tier also covers global-relock argmin near-TIES:
-            # two symmetric relock poses score ulp-equal and the two
-            # engines pick different winners (seed 112: 2.9 px at
-            # frame 0, bitwise re-convergence by frame 4); 10 px stays
-            # far inside the 60 px HMM basin, so cell-scale wrongness
-            # still fails
+        elif decisions and _weak_tier_ok(poses, ores.poses, ok_frames):
             weak += 1
         else:
             fails += 1

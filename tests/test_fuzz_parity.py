@@ -13,8 +13,9 @@ random walk, noisy odometry - and checks the same contracts hold:
     pixels with identical tracking decisions.
 """
 
-import numpy as np
+import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from lsdtpu.io.loaders import Dataset, MapParam
@@ -251,16 +252,14 @@ def test_nan_lane_isolation_in_batch_and_pool():
     solo = jax.tree.map(np.asarray, run_sequence(f_ok, ctx_ok))
     assert np.isfinite(np.asarray(solo["pose"])).all()
 
-    import jax as _jax
-
     def batch(lane0_f, lane0_c):
-        bf = _jax.tree.map(lambda a, b: np.stack([np.asarray(a),
-                                                  np.asarray(b)]),
-                           lane0_f, f_ok)
-        bc = _jax.tree.map(lambda a, b: np.stack([np.asarray(a),
-                                                  np.asarray(b)]),
-                           lane0_c, ctx_ok)
-        return _jax.tree.map(np.asarray, run_batch(bf, bc))
+        bf = jax.tree.map(lambda a, b: np.stack([np.asarray(a),
+                                                 np.asarray(b)]),
+                          lane0_f, f_ok)
+        bc = jax.tree.map(lambda a, b: np.stack([np.asarray(a),
+                                                 np.asarray(b)]),
+                          lane0_c, ctx_ok)
+        return jax.tree.map(np.asarray, run_batch(bf, bc))
 
     with_nan = batch(f_nan, ctx_nan)       # lane 0 = NaN chain
     clean_x2 = batch(f_ok, ctx_ok)         # lane 0 = clean twin
@@ -278,5 +277,41 @@ def test_nan_lane_isolation_in_batch_and_pool():
     np.testing.assert_allclose(with_nan["pose"][1], solo["pose"],
                                atol=1e-8)
 
+    # --- the SERVING POOL surface (its own slot/state management on
+    # top of the vmapped step): a NaN-chain session next to a clean
+    # session vs the clean session next to a clean twin - the clean
+    # slot's outputs must be bitwise identical tick for tick
+    from lsdtpu.runtime.serving import SessionPool
 
-import jax  # noqa: E402  (used by the isolation test)
+    H = max(art_nan.map_cache.shape[0], art_ok.map_cache.shape[0])
+    W = max(art_nan.map_cache.shape[1], art_ok.map_cache.shape[1])
+    args_nan = (art_nan.lines_info, art_nan.map_cache,
+                ds_nan.param.resol, ds_nan.param.ori_x, ds_nan.param.ori_y)
+    args_ok = (art_ok.lines_info, art_ok.map_cache,
+               ds_ok.param.resol, ds_ok.param.ori_x, ds_ok.param.ori_y)
+
+    def pool_run(slot0_args, slot0_ds):
+        pool = SessionPool(capacity=2, canvas_hw=(H, W), dtype=np.float64)
+        pool.open_session("x", *slot0_args)
+        pool.open_session("ok", *args_ok)
+        got = []
+        nf = min(len(slot0_ds.frames), len(ds_ok.frames), 10)
+        for f in range(nf):
+            fx, fo = slot0_ds.frames[f], ds_ok.frames[f]
+            pool.submit_scan("x", fx[:, 0], fx[:, 1],
+                             slot0_ds.odom[f + 1])
+            pool.submit_scan("ok", fo[:, 0], fo[:, 1], ds_ok.odom[f + 1])
+            res = pool.step()
+            got.append((res["x"]["pose"], res["ok"]["pose"],
+                        res["ok"]["score"]))
+        return got
+
+    with_nan_p = pool_run(args_nan, ds_nan)
+    clean_p = pool_run(args_ok, ds_ok)
+    assert any(np.isnan(r[0]).any() for r in with_nan_p)  # chain hit
+    for f, (a, b) in enumerate(zip(with_nan_p, clean_p)):
+        np.testing.assert_array_equal(a[1], b[1],
+                                      err_msg=f"pool pose tick {f}")
+        np.testing.assert_array_equal(a[2], b[2],
+                                      err_msg=f"pool score tick {f}")
+
